@@ -1,0 +1,75 @@
+"""Headline benchmark: Cornell Box 800×800, trace depth 8, single TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+Baseline: 236 M primary samples/s (the reference CUDA renderer's naive
+configuration, README.md:30; "rays/s" = pixels × iterations / wall seconds,
+`src/pathtrace.cu:173`). vs_baseline is value / 236e6.
+
+Env knobs: PT_BENCH_ITERS (default 1000), PT_BENCH_CHUNK (samples per device
+call, default 50), PT_BENCH_SCENE (scene path).
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_RAYS_PER_SEC = 236e6
+
+
+def main():
+    iters = int(os.environ.get("PT_BENCH_ITERS", "1000"))
+    chunk = int(os.environ.get("PT_BENCH_CHUNK", "50"))
+    scene_path = os.environ.get(
+        "PT_BENCH_SCENE", os.path.join(REPO, "scenes", "cornell.txt")
+    )
+
+    from cosc_4397_pathtracing_raytracing_project_tpu import RenderConfig, Renderer
+
+    renderer = Renderer(
+        scene_path,
+        RenderConfig(samples_per_launch=chunk),
+    )
+
+    # Warm up / compile outside the timed region, then reset state+metrics.
+    renderer.step(chunk)
+    renderer.state = renderer.state.reset()
+    from cosc_4397_pathtracing_raytracing_project_tpu.render.metrics import (
+        MetricsTracker,
+    )
+
+    renderer.metrics = MetricsTracker(renderer.scene.camera.pixel_count)
+
+    t0 = time.perf_counter()
+    renderer.render(iters)
+    wall = time.perf_counter() - t0
+
+    pixels = renderer.scene.camera.pixel_count
+    rays_per_sec = pixels * iters / wall
+
+    # Convergence sanity: self-referential PSNR harness (reference parity).
+    psnr = renderer.metrics.update_psnr(renderer.state.accum, renderer.iteration)
+
+    result = {
+        "metric": "primary_samples_per_sec_cornell_800x800_depth8",
+        "value": round(rays_per_sec, 0),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "detail": {
+            "iterations": iters,
+            "wall_seconds": round(wall, 3),
+            "avg_iteration_ms": round(wall / iters * 1e3, 3),
+            "pixels": pixels,
+            "chunk": chunk,
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

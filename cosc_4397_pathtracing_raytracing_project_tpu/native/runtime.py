@@ -1,0 +1,113 @@
+"""ctypes bindings for the native C++ runtime library (libptruntime.so).
+
+The reference's host runtime is C++ (scene parsing `src/scene.cpp`, BVH
+construction `src/pathtrace.cu:23-111`, PNG encoding via stb). This module
+loads the TPU-framework's C++ equivalents when built (see native/src and
+native/build.sh) and exposes ``available()`` so every caller has a pure
+Python/NumPy fallback — tests and rendering never require the native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libptruntime.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.pt_write_png.restype = ctypes.c_int
+        lib.pt_write_png.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.pt_build_bvh.restype = ctypes.c_int
+        lib.pt_build_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # mins [n,3]
+            ctypes.POINTER(ctypes.c_float),  # maxs [n,3]
+            ctypes.c_int,  # n
+            ctypes.c_int,  # leaf_size
+            ctypes.POINTER(ctypes.c_float),  # out node bounds [2n? ,6]
+            ctypes.POINTER(ctypes.c_int),  # out left/right/start/count [.,4]
+            ctypes.POINTER(ctypes.c_int),  # out prim order [n]
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def write_png(path: str, image: np.ndarray) -> str:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not built")
+    image = np.ascontiguousarray(image, np.uint8)
+    h, w, c = image.shape
+    if not path.endswith(".png"):
+        path = path + ".png"
+    rc = lib.pt_write_png(
+        path.encode(),
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w,
+        h,
+        c,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native PNG write failed ({rc})")
+    return path
+
+
+def build_bvh(mins: np.ndarray, maxs: np.ndarray, leaf_size: int = 1):
+    """Native median-split BVH build. Returns (bounds_min, bounds_max, left,
+    right, start, count, order) flattened arrays, or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = mins.shape[0]
+    max_nodes = max(2 * n, 1)
+    mins = np.ascontiguousarray(mins, np.float32)
+    maxs = np.ascontiguousarray(maxs, np.float32)
+    node_bounds = np.zeros((max_nodes, 6), np.float32)
+    node_meta = np.zeros((max_nodes, 4), np.int32)
+    order = np.zeros(n, np.int32)
+    count = lib.pt_build_bvh(
+        mins.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        maxs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        leaf_size,
+        node_bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        node_meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    if count <= 0:
+        return None
+    return (
+        node_bounds[:count, :3].copy(),
+        node_bounds[:count, 3:].copy(),
+        node_meta[:count, 0].copy(),
+        node_meta[:count, 1].copy(),
+        node_meta[:count, 2].copy(),
+        node_meta[:count, 3].copy(),
+        order,
+    )

@@ -1,0 +1,192 @@
+"""The per-bounce shade/extend stage (`shadeAndExtendRays`,
+`src/pathtrace.cu:336-437`), as a pure masked-wavefront function.
+
+Where the reference early-returns per thread, this computes every branch for
+every lane and blends with ``where`` masks — the XLA-native replacement for
+SIMT divergence. The reference's quirks are preserved deliberately for
+image-level parity:
+
+- the sky factor is applied on *every* depth at which the stored ray misses,
+  including lanes already terminated by an earlier miss (the reference's
+  early-out only checks ``hit.t < 0``, `pathtrace.cu:356-365`, and dead lanes
+  keep re-intersecting their stale ray each depth);
+- Russian roulette starts strictly after depth 3 (`pathtrace.cu:381-388`);
+- the RNG is consumed in the same *roles* (not the same bit-stream):
+  roulette, branch select, two-to-three direction samples;
+- ``hasRefractive`` is (mis)used as ``1 - roughness`` for the glossy cone
+  (`pathtrace.cu:400`), and the branch tint is the specular color for the
+  mirror path and the albedo for the diffuse path.
+
+The reference loads the material table into CUDA shared memory
+(`pathtrace.cu:343-350`); here the table is gathered per-lane with a one-hot
+contraction, which XLA keeps resident in VMEM — the TPU analog of that cache.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..scene.structs import Materials
+from . import linalg, rng, sampling
+from .intersect import Hit, take_rows
+
+_ORIGIN_OFFSET = 1e-3  # self-intersection offset (`pathtrace.cu:418,431`)
+
+
+class PathState(struct.PyTreeNode):
+    """SoA PathSegment (`sceneStructs.h:67-72`)."""
+
+    origin: jnp.ndarray  # (N, 3) f32
+    direction: jnp.ndarray  # (N, 3) f32
+    color: jnp.ndarray  # (N, 3) f32 throughput
+    bounces: jnp.ndarray  # (N,) i32 remaining bounces
+
+    @property
+    def alive(self) -> jnp.ndarray:
+        return self.bounces > 0
+
+
+def init_paths(origins, directions, trace_depth: int) -> PathState:
+    n = origins.shape[0]
+    return PathState(
+        origin=origins,
+        direction=directions,
+        color=jnp.ones((n, 3), jnp.float32),
+        bounces=jnp.full((n,), trace_depth, jnp.int32),
+    )
+
+
+def _gather_materials(materials: Materials, material_id: jnp.ndarray):
+    """Per-lane material fetch: pack the table to [M, 9] and one-hot-matmul.
+
+    Layout: color(3) | specular_color(3) | reflectivity | refractive |
+    emittance."""
+    packed = jnp.concatenate(
+        [
+            materials.color,
+            materials.specular_color,
+            materials.reflectivity[:, None],
+            materials.refractive[:, None],
+            materials.emittance[:, None],
+        ],
+        axis=1,
+    )
+    rows = take_rows(packed, material_id)
+    return {
+        "color": rows[:, 0:3],
+        "specular_color": rows[:, 3:6],
+        "reflectivity": rows[:, 6],
+        "refractive": rows[:, 7],
+        "emittance": rows[:, 8],
+    }
+
+
+def shade_step(
+    paths: PathState,
+    hit: Hit,
+    materials: Materials,
+    uniforms: jnp.ndarray,
+    depth,
+    rr_start_depth: int = 3,
+    gather_mode: str = "throughput",
+    sky_strength: float = 1.0,
+):
+    """One masked shade/extend pass. Returns ``(new_paths, radiance_contrib)``.
+
+    ``uniforms`` is [N, rng.NUM_LANES]; ``depth`` is the 0-based bounce
+    counter (scalar, may be traced).
+
+    gather_mode selects the estimator:
+
+    - ``"throughput"`` — faithful to the reference *code*: every path's final
+      throughput product is added to the image by finalGather
+      (`pathtrace.cu:439-444`), misses multiply the sky factor in on every
+      depth, and RR-killed / depth-exhausted paths still contribute their
+      products. ``radiance_contrib`` is all zeros; the caller adds the final
+      ``paths.color`` after the bounce loop.
+    - ``"light_only"`` — the physically-correct estimator of the upstream
+      CIS565 reference render (`img/REFERENCE_cornell.5000samp.png`): a path
+      contributes ``throughput × emittance × color`` when it hits an emissive
+      surface, ``throughput × sky × sky_strength`` once when it escapes
+      (``sky_strength = 0`` reproduces the golden image's black background),
+      and nothing when RR-killed or depth-exhausted. RR keeps its 1/p
+      compensation, making the estimate unbiased.
+    """
+    u_rr = uniforms[:, rng.U_RR]
+    u_branch = uniforms[:, rng.U_BRANCH]
+    u_a = uniforms[:, rng.U_A]
+    u_b = uniforms[:, rng.U_B]
+    u_c = uniforms[:, rng.U_C]
+
+    if gather_mode not in ("throughput", "light_only"):
+        raise ValueError(f"unknown gather_mode {gather_mode!r}")
+    legacy = gather_mode == "throughput"
+
+    alive = paths.alive
+    missed = hit.miss
+    contrib = jnp.zeros_like(paths.color)
+
+    # ── miss / dead early-out (`pathtrace.cu:356-365`) ──
+    sky = sampling.sky_color(paths.direction)
+    if legacy:
+        # Sky multiplies on every miss, even for already-dead lanes (see
+        # module docstring); termination zeroes the bounce counter.
+        color = jnp.where(missed[:, None], paths.color * sky, paths.color)
+    else:
+        # Correct estimator: an escaping path contributes the environment
+        # radiance once (only while alive) and is done.
+        color = paths.color
+        if sky_strength:
+            contrib = jnp.where(
+                (missed & alive)[:, None],
+                color * sky * jnp.float32(sky_strength),
+                contrib,
+            )
+    early_out = missed | ~alive
+    act = ~early_out
+
+    mat = _gather_materials(materials, hit.material_id)
+
+    # ── emissive termination (`pathtrace.cu:374-378`) ──
+    emissive = mat["emittance"] > 0.0
+    hit_light = act & emissive
+    light_radiance = color * mat["color"] * mat["emittance"][:, None]
+    if legacy:
+        color = jnp.where(hit_light[:, None], light_radiance, color)
+    else:
+        contrib = jnp.where(hit_light[:, None], light_radiance, contrib)
+    act = act & ~emissive
+
+    # ── Russian roulette after rr_start_depth (`pathtrace.cu:381-388`) ──
+    rr_on = jnp.asarray(depth, jnp.int32) > rr_start_depth
+    p_continue = jnp.max(mat["color"], axis=-1)
+    rr_kill = act & rr_on & (u_rr > p_continue)
+    rr_survive = act & rr_on & ~rr_kill
+    color = jnp.where(
+        rr_survive[:, None], color / jnp.maximum(p_continue, 1e-12)[:, None], color
+    )
+    act = act & ~rr_kill
+
+    # ── scatter (`pathtrace.cu:394-436`) ──
+    reflectivity = mat["reflectivity"]
+    roughness = 1.0 - mat["refractive"]
+    spec = act & (reflectivity > 0.0) & (u_branch < reflectivity)
+
+    spec_dir = sampling.perturbed_specular(
+        paths.direction, hit.normal, roughness, u_a, u_c
+    )
+    diff_dir = sampling.cosine_weighted_hemisphere(u_a, u_b, hit.normal)
+    new_dir = jnp.where(spec[:, None], spec_dir, diff_dir)
+    tint = jnp.where(spec[:, None], mat["specular_color"], mat["color"])
+
+    color = jnp.where(act[:, None], color * tint, color)
+    new_origin = hit.point + hit.normal * _ORIGIN_OFFSET
+    origin = jnp.where(act[:, None], new_origin, paths.origin)
+    direction = jnp.where(act[:, None], new_dir, paths.direction)
+    bounces = jnp.where(act, paths.bounces - 1, jnp.zeros_like(paths.bounces))
+
+    new_paths = PathState(
+        origin=origin, direction=direction, color=color, bounces=bounces
+    )
+    return new_paths, contrib

@@ -1,0 +1,114 @@
+"""Multi-chip render step: shard_map over the ('sp', 'dp') mesh.
+
+Each dp rank traces a contiguous tile of the flat pixel array; each sp rank
+traces a disjoint subset of the sample iterations for those pixels, and the
+per-chunk partial accumulators are combined with one ``psum`` over the
+sample axis (the only collective — paths are independent, so there is no
+halo traffic). Scene pytrees are replicated (they are KBs); the accumulator
+lives sharded over dp for its whole life, so no full-frame gather happens
+until the host asks for pixels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..render.engine import RenderConfig, trace_sample
+from ..render.state import RenderState
+from ..scene.structs import Scene
+from .mesh import PIXEL_AXIS, SAMPLE_AXIS
+
+
+def render_chunk_sharded(
+    scene: Scene,
+    state: RenderState,
+    config: RenderConfig,
+    num_samples: int,
+    mesh: Mesh,
+    intersector: Optional[Callable] = None,
+) -> RenderState:
+    """Accumulate `num_samples` samples, sharded over the mesh. Both
+    `num_samples` and the mesh are static; `num_samples` must divide by the
+    sp extent and the pixel count by the dp extent."""
+    n_total = scene.camera.pixel_count
+    n_dp = mesh.shape[PIXEL_AXIS]
+    n_sp = mesh.shape[SAMPLE_AXIS]
+    if n_total % n_dp != 0:
+        raise ValueError(f"pixel count {n_total} not divisible by dp={n_dp}")
+    if num_samples % n_sp != 0:
+        raise ValueError(f"num_samples {num_samples} not divisible by sp={n_sp}")
+    local_pixels = n_total // n_dp
+    local_samples = num_samples // n_sp
+
+    def body(scene, accum_local, iteration, key):
+        dp = jax.lax.axis_index(PIXEL_AXIS)
+        sp = jax.lax.axis_index(SAMPLE_AXIS)
+        offset = dp * local_pixels
+        tile_key = jax.random.fold_in(key, dp)
+
+        def one(acc, i):
+            it = iteration + 1 + sp * jnp.int32(local_samples) + i
+            color = trace_sample(
+                scene,
+                config,
+                tile_key,
+                it,
+                intersector,
+                pixel_offset=offset,
+                num_pixels=local_pixels,
+            )
+            return acc + color, None
+
+        partial_accum, _ = jax.lax.scan(
+            one,
+            jnp.zeros((local_pixels, 3), jnp.float32),
+            jnp.arange(local_samples, dtype=jnp.int32),
+        )
+        partial_accum = jax.lax.psum(partial_accum, SAMPLE_AXIS)
+        return accum_local + partial_accum
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(PIXEL_AXIS, None), P(), P()),
+        out_specs=P(PIXEL_AXIS, None),
+        # The bounce-scan carry starts replicated (raygen) and becomes
+        # device-varying once per-tile RNG enters; skip the VMA check rather
+        # than pvary-annotating every carry leaf.
+        check_vma=False,
+    )
+    # Place inputs on the mesh (scene/state may arrive committed to a single
+    # device): scene replicated, accumulator sharded over dp.
+    from jax.sharding import NamedSharding
+
+    scene = jax.device_put(scene, NamedSharding(mesh, P()))
+    accum_in = jax.device_put(state.accum, NamedSharding(mesh, P(PIXEL_AXIS, None)))
+    iteration = jax.device_put(state.iteration, NamedSharding(mesh, P()))
+    key = jax.device_put(state.key, NamedSharding(mesh, P()))
+    accum = sharded(scene, accum_in, iteration, key)
+    return state.replace(
+        accum=accum, iteration=state.iteration + jnp.int32(num_samples)
+    )
+
+
+def make_sharded_step(
+    scene: Scene,
+    config: RenderConfig,
+    num_samples: int,
+    mesh: Mesh,
+    intersector: Optional[Callable] = None,
+):
+    """jit-compiled closure over the static pieces."""
+    fn = partial(
+        render_chunk_sharded,
+        config=config,
+        num_samples=num_samples,
+        mesh=mesh,
+        intersector=intersector,
+    )
+    return jax.jit(lambda scene, state: fn(scene, state))

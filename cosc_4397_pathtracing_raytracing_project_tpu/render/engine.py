@@ -1,0 +1,259 @@
+"""The jitted render core and the host-side Renderer driver.
+
+TPU-native redesign of the reference's per-iteration orchestration
+(`pathtrace` in `src/pathtrace.cu:529-653`): where the reference launches
+~18 synchronizing kernels per sample (raygen, 8× [memset → intersect →
+shade], gather, tonemap, D2H copy), here an entire *batch* of samples is one
+XLA computation — raygen, a `lax.scan` over bounce depth, and the
+accumulation all fuse with zero host round-trips. Host transfer happens only
+when the caller asks for pixels or metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.structs import Scene, SceneDesc
+from ..scene.parser import load_scene_desc
+from ..ops import camera as camera_ops
+from ..ops import rng as rng_ops
+from ..ops import tonemap
+from ..ops.intersect import intersect_scene
+from ..ops.shade import init_paths, shade_step
+from .state import RenderState
+from .metrics import MetricsTracker
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration (compile-time constants).
+
+    The reference's equivalents live in the scene file's CAMERA block and
+    compile-time defines (`scene.cpp:99-115`, `pathtrace.cu:137-138`)."""
+
+    trace_depth: int = 8
+    antialias: bool = False  # reference has no sub-pixel jitter
+    rr_start_depth: int = 3  # Russian roulette opens after this depth
+    samples_per_launch: int = 10  # samples fused into one jitted call
+    intersector: str = "auto"  # 'bruteforce' | 'bvh' | 'auto'
+    bvh_leaf_size: int = 4
+    # Estimator (see ops.shade.shade_step): 'light_only' matches the correct
+    # upstream golden render; 'throughput' replicates the reference code's
+    # finalGather-of-throughputs.
+    gather_mode: str = "light_only"
+    sky_strength: float = 0.0  # environment strength in light_only mode
+
+    def resolve_intersector(self, scene: Scene) -> str:
+        if self.intersector != "auto":
+            return self.intersector
+        # Dense vectorized all-primitive testing beats tree traversal on a
+        # vector machine until the primitive count is substantial.
+        return "bruteforce" if scene.num_primitives <= 64 else "bvh"
+
+
+def make_intersector(scene: Scene, config: RenderConfig) -> Callable:
+    kind = config.resolve_intersector(scene)
+    if kind == "bruteforce":
+        return intersect_scene
+    elif kind == "bvh":
+        from ..ops import bvh as bvh_mod
+
+        return bvh_mod.make_bvh_intersector(scene, leaf_size=config.bvh_leaf_size)
+    raise ValueError(f"unknown intersector {kind!r}")
+
+
+def trace_sample(
+    scene: Scene,
+    config: RenderConfig,
+    base_key: jnp.ndarray,
+    iteration: jnp.ndarray,
+    intersector: Optional[Callable] = None,
+    pixel_offset=0,
+    num_pixels: Optional[int] = None,
+) -> jnp.ndarray:
+    """Trace one sample per pixel; returns the [N, 3] color contribution.
+
+    One full wavefront pipeline: raygen → scan over bounce depth
+    {intersect, shade} → path colors (finalGather's unconditional
+    ``image[pixel] += color``, `pathtrace.cu:439-444`, happens in the
+    caller's accumulate). `pixel_offset`/`num_pixels` select a contiguous
+    tile of the flat pixel array (used by the sharded multi-chip path)."""
+    cam = scene.camera
+    n = num_pixels if num_pixels is not None else cam.pixel_count
+    isect = intersector if intersector is not None else intersect_scene
+
+    jitter = (
+        rng_ops.pixel_jitter(base_key, iteration, n) if config.antialias else None
+    )
+    origins, directions = camera_ops.generate_rays(
+        cam, jitter, pixel_offset=pixel_offset, num_pixels=n
+    )
+    paths = init_paths(origins, directions, config.trace_depth)
+
+    def bounce(carry, depth):
+        paths, radiance = carry
+        uniforms = rng_ops.bounce_uniforms(base_key, iteration, depth, n)
+        hit = isect(scene, paths.origin, paths.direction)
+        paths, contrib = shade_step(
+            paths,
+            hit,
+            scene.materials,
+            uniforms,
+            depth,
+            config.rr_start_depth,
+            gather_mode=config.gather_mode,
+            sky_strength=config.sky_strength,
+        )
+        return (paths, radiance + contrib), None
+
+    radiance0 = jnp.zeros((n, 3), jnp.float32)
+    (paths, radiance), _ = jax.lax.scan(
+        bounce, (paths, radiance0), jnp.arange(config.trace_depth, dtype=jnp.int32)
+    )
+    if config.gather_mode == "throughput":
+        # finalGather parity: every path adds its terminal throughput product.
+        return paths.color
+    return radiance
+
+
+def render_chunk(
+    scene: Scene,
+    state: RenderState,
+    config: RenderConfig,
+    num_samples: int,
+    intersector: Optional[Callable] = None,
+) -> RenderState:
+    """Accumulate `num_samples` full-frame samples into the state (one jitted
+    call; `num_samples` is static)."""
+
+    def body(accum, i):
+        iteration = state.iteration + 1 + i  # 1-based like the reference
+        color = trace_sample(scene, config, state.key, iteration, intersector)
+        return accum + color, None
+
+    accum, _ = jax.lax.scan(
+        body, state.accum, jnp.arange(num_samples, dtype=jnp.int32)
+    )
+    return state.replace(
+        accum=accum, iteration=state.iteration + jnp.int32(num_samples)
+    )
+
+
+class Renderer:
+    """Host-side driver: owns the device scene, render state, and metrics.
+
+    Replaces the reference's `pathtraceInit`/`pathtrace`/`pathtraceFree`
+    lifecycle (`pathtrace.cu:462-527`) — in JAX, device buffers are garbage
+    collected, so there is no explicit free; a camera change is just a state
+    reset plus a scene-pytree update (no re-jit: camera vectors are dynamic
+    leaves)."""
+
+    def __init__(
+        self,
+        scene,
+        config: Optional[RenderConfig] = None,
+        seed: int = 0,
+    ):
+        if isinstance(scene, str):
+            self.desc: Optional[SceneDesc] = load_scene_desc(scene)
+            self.scene = Scene.from_desc(self.desc)
+            if config is None:
+                config = RenderConfig(trace_depth=self.desc.trace_depth)
+            self.target_iterations = self.desc.iterations
+            self.image_name = self.desc.image_name
+        elif isinstance(scene, SceneDesc):
+            self.desc = scene
+            self.scene = Scene.from_desc(scene)
+            if config is None:
+                config = RenderConfig(trace_depth=scene.trace_depth)
+            self.target_iterations = scene.iterations
+            self.image_name = scene.image_name
+        else:
+            self.desc = None
+            self.scene = scene
+            if config is None:
+                config = RenderConfig()
+            self.target_iterations = 0
+            self.image_name = "render"
+
+        self.config = config
+        self.state = RenderState.create(self.scene.camera.pixel_count, seed)
+        self.metrics = MetricsTracker(self.scene.camera.pixel_count)
+        self._intersector = make_intersector(self.scene, config)
+        self._step = jax.jit(
+            partial(render_chunk, intersector=self._intersector),
+            static_argnames=("config", "num_samples"),
+        )
+
+    @property
+    def iteration(self) -> int:
+        return int(self.state.iteration)
+
+    def step(self, num_samples: Optional[int] = None) -> int:
+        """Run a batch of samples; returns the new iteration count."""
+        if num_samples is None:
+            num_samples = self.config.samples_per_launch
+        t0 = time.perf_counter()
+        self.state = self._step(self.scene, self.state, self.config, num_samples)
+        self.state.accum.block_until_ready()
+        self.metrics.record(num_samples, time.perf_counter() - t0)
+        return self.iteration
+
+    def render(self, iterations: Optional[int] = None, progress: bool = False):
+        """Render to `iterations` total samples (scene-file ITERATIONS by
+        default), batching samples_per_launch per device call."""
+        target = iterations if iterations is not None else self.target_iterations
+        while self.iteration < target:
+            n = min(self.config.samples_per_launch, target - self.iteration)
+            self.step(n)
+            if progress:
+                m = self.metrics
+                print(
+                    f"iter {self.iteration}/{target}  "
+                    f"{m.samples_per_second / 1e6:.1f} M rays/s  "
+                    f"avg {m.avg_iteration_ms:.2f} ms/iter"
+                )
+        return self
+
+    # ── outputs ──
+
+    def linear_image(self) -> np.ndarray:
+        """[H, W, 3] float32 linear mean radiance."""
+        w, h = self.scene.camera.resolution
+        img = tonemap.mean_image(self.state.accum, self.state.iteration)
+        return np.asarray(img).reshape(h, w, 3)
+
+    def display_image(self) -> np.ndarray:
+        """[H, W, 3] uint8 gamma-2.2 preview frame (PBO path parity)."""
+        w, h = self.scene.camera.resolution
+        img = tonemap.display_image(self.state.accum, self.state.iteration)
+        return np.asarray(img).reshape(h, w, 3)
+
+    def save_png(self, path: Optional[str] = None) -> str:
+        """Write the PNG exactly as the reference's saveImage: linear clamp,
+        no gamma, horizontal mirror, ``<name>.<timestamp>.<N>samp.png``."""
+        from ..io.png import write_png
+        from ..utils.timing import current_time_string
+
+        w, h = self.scene.camera.resolution
+        img = np.asarray(
+            tonemap.save_image(self.state.accum, self.state.iteration, w, h)
+        )
+        if path is None:
+            path = f"{self.image_name}.{current_time_string()}.{self.iteration}samp.png"
+        write_png(path, img)
+        return path
+
+    # ── camera interaction (accumulation reset, `main.cpp:110-136`) ──
+
+    def set_camera(self, camera) -> None:
+        self.scene = self.scene.replace(camera=camera)
+        self.state = self.state.reset()
+        self.metrics = MetricsTracker(self.scene.camera.pixel_count)

@@ -1,0 +1,234 @@
+"""End-to-end render pipeline tests (small resolutions, CPU backend)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosc_4397_pathtracing_raytracing_project_tpu import (
+    RenderConfig,
+    Renderer,
+)
+from cosc_4397_pathtracing_raytracing_project_tpu.scene import parse_scene, Scene
+from cosc_4397_pathtracing_raytracing_project_tpu.render.engine import (
+    render_chunk,
+    trace_sample,
+)
+from cosc_4397_pathtracing_raytracing_project_tpu.render.state import RenderState
+
+
+CORNELL_SMALL = """
+MATERIAL 0
+RGB 1 1 1
+SPECEX 0
+SPECRGB 0 0 0
+REFL 0
+REFR 0
+REFRIOR 0
+EMITTANCE 1.5
+
+MATERIAL 1
+RGB .98 .98 .98
+SPECEX 0
+SPECRGB 0 0 0
+REFL 0
+REFR 0
+REFRIOR 0
+EMITTANCE 0
+
+MATERIAL 2
+RGB .85 .35 .35
+SPECEX 0
+SPECRGB 0 0 0
+REFL 0
+REFR 0
+REFRIOR 0
+EMITTANCE 0
+
+MATERIAL 3
+RGB .35 .85 .35
+SPECEX 0
+SPECRGB 0 0 0
+REFL 0
+REFR 0
+REFRIOR 0
+EMITTANCE 0
+
+MATERIAL 4
+RGB .98 .98 .98
+SPECEX 0
+SPECRGB .98 .98 .98
+REFL 1
+REFR 0
+REFRIOR 0
+EMITTANCE 0
+
+CAMERA
+RES 64 64
+FOVY 45
+ITERATIONS 8
+DEPTH 8
+FILE cornell_small
+EYE 0.0 5 10.5
+LOOKAT 0 5 0
+UP 0 1 0
+
+OBJECT 0
+cube
+material 0
+TRANS 0 10 0
+ROTAT 0 0 0
+SCALE 3 .3 3
+
+OBJECT 1
+cube
+material 1
+TRANS 0 0 0
+ROTAT 0 0 0
+SCALE 10 .01 10
+
+OBJECT 2
+cube
+material 1
+TRANS 0 10 0
+ROTAT 0 0 90
+SCALE .01 10 10
+
+OBJECT 3
+cube
+material 1
+TRANS 0 5 -5
+ROTAT 0 90 0
+SCALE .01 10 10
+
+OBJECT 4
+cube
+material 2
+TRANS -5 5 0
+ROTAT 0 0 0
+SCALE .01 10 10
+
+OBJECT 5
+cube
+material 3
+TRANS 5 5 0
+ROTAT 0 0 0
+SCALE .01 10 10
+
+OBJECT 6
+sphere
+material 4
+TRANS -1 4 -1
+ROTAT 0 0 0
+SCALE 3 3 3
+"""
+
+
+@pytest.fixture(scope="module")
+def small_desc():
+    return parse_scene(CORNELL_SMALL)
+
+
+@pytest.fixture(scope="module")
+def small_renderer(small_desc):
+    r = Renderer(small_desc, RenderConfig(trace_depth=8, samples_per_launch=4))
+    r.render(8)
+    return r
+
+
+def test_render_produces_finite_radiance(small_renderer):
+    img = small_renderer.linear_image()
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05  # light reaches the sensor
+    assert small_renderer.iteration == 8
+
+
+def test_render_is_deterministic(small_desc):
+    a = Renderer(small_desc, RenderConfig(samples_per_launch=2), seed=7)
+    b = Renderer(small_desc, RenderConfig(samples_per_launch=2), seed=7)
+    a.step(2)
+    b.step(2)
+    np.testing.assert_array_equal(np.asarray(a.state.accum), np.asarray(b.state.accum))
+
+
+def test_different_seeds_differ(small_desc):
+    a = Renderer(small_desc, RenderConfig(samples_per_launch=2), seed=1)
+    b = Renderer(small_desc, RenderConfig(samples_per_launch=2), seed=2)
+    a.step(2)
+    b.step(2)
+    assert np.abs(np.asarray(a.state.accum) - np.asarray(b.state.accum)).max() > 0
+
+
+def test_cornell_colors_bleed(small_renderer):
+    """Left wall red, right wall green: wall bands carry the wall tint."""
+    img = small_renderer.linear_image()
+    # raygen dir = view - right*(x-w/2) with right=+x ⇒ small pixel x looks
+    # toward +x (green wall at x=+5). Wall bands sit inside the border.
+    green_band = img[20:44, 6:18].mean(axis=(0, 1))
+    red_band = img[20:44, -18:-6].mean(axis=(0, 1))
+    assert green_band[1] > green_band[0]  # green dominant toward +x
+    assert red_band[0] > red_band[1]  # red dominant toward -x
+
+
+def test_emissive_ceiling_panel_visible(small_renderer):
+    img = small_renderer.linear_image()
+    # Primary rays that hit the ceiling light terminate with color =
+    # 1 * albedo(1,1,1) * emittance(1.5) on every sample (no AA jitter), so
+    # those pixels' linear mean is exactly ~1.5. Row 0 looks up (raygen
+    # dir = view - up*ply*(y - h/2)).
+    top_third = img[:22]
+    assert top_third.max() > 1.4
+
+
+def test_accumulation_reset_on_camera_change(small_renderer, small_desc):
+    r = Renderer(small_desc, RenderConfig(samples_per_launch=2))
+    r.step(2)
+    assert r.iteration == 2
+    r.set_camera(r.scene.camera)
+    assert r.iteration == 0
+    assert np.asarray(r.state.accum).max() == 0
+
+
+def test_save_png_roundtrip(tmp_path, small_renderer):
+    from cosc_4397_pathtracing_raytracing_project_tpu.io.png import read_png
+
+    path = small_renderer.save_png(str(tmp_path / "out.png"))
+    img = read_png(path)
+    assert img.shape == (64, 64, 3)
+    # PNG path is linear (no gamma) and horizontally mirrored vs the display
+    disp = small_renderer.display_image()
+    assert img.mean() <= disp.mean() + 1  # linear is darker than gamma 1/2.2
+
+
+def test_metrics_harness(small_desc):
+    r = Renderer(small_desc, RenderConfig(samples_per_launch=5))
+    r.step(5)
+    r.step(5)
+    m = r.metrics
+    assert m.iterations == 10
+    assert m.samples_per_second > 0
+    assert m.avg_iteration_ms > 0
+    # snapshot-PSNR harness parity: snapshot exists at iter>=10, then PSNR
+    m.update_psnr(r.state.accum, r.iteration)
+    assert m.snapshot is not None
+    r.step(5)
+    psnr = m.update_psnr(r.state.accum, r.iteration)
+    assert psnr > 5.0
+    assert "PERFORMANCE METRICS SUMMARY" in m.summary()
+
+
+def test_antialias_flag(small_desc):
+    r = Renderer(small_desc, RenderConfig(samples_per_launch=2, antialias=True))
+    r.step(2)
+    assert np.isfinite(np.asarray(r.state.accum)).all()
+
+
+def test_trace_sample_shapes(small_desc):
+    scene = Scene.from_desc(small_desc)
+    key = jax.random.PRNGKey(0)
+    color = trace_sample(scene, RenderConfig(trace_depth=4), key, jnp.int32(1))
+    assert color.shape == (64 * 64, 3)
+    assert np.isfinite(np.asarray(color)).all()
