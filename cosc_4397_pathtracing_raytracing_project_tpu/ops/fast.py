@@ -1,0 +1,411 @@
+"""Speed-of-light wavefront pipeline (structure-of-arrays fast path).
+
+Semantically equivalent to ops.intersect + ops.shade (same reference
+semantics, see those modules for the `pathtrace.cu` / `intersections.h`
+citations), re-expressed for the TPU VPU:
+
+- every quantity is a flat ``[N]`` float32 array (x/y/z as separate arrays).
+  ``[N, 3]``-style arrays put a size-3 axis in the lane dimension, wasting
+  125/128 lanes of every vector register and padding HBM tiles ~42×;
+- the primitive loop is unrolled in Python (static K) with a running
+  nearest-hit — no ``[N, K]`` materialization, no gathers: the winning
+  normal/material are carried through ``where`` selects;
+- the object-space direction is left unnormalized: slab/quadratic parameters
+  in that scale convert to the reference's world-space distance as
+  ``t_world = s - 1e-4 / |q_d|`` (exact algebra, since M·q_d = d and |d| = 1),
+  eliminating the per-candidate world-point transform entirely;
+- hit point = ``origin + t_world · direction`` (the same algebra), so phase-2
+  is only the winner's normal;
+- trig is minimized: cos θ = √(1-u), sin θ = √u replaces acos/sin/cos chains.
+
+The pipeline applies to analytic scenes (cubes + spheres, ≤ MAX_UNROLL
+primitives). Mesh/BVH scenes take the general path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.structs import Scene
+
+MAX_UNROLL = 64
+_MISS = jnp.float32(1e30)
+_FMAX = jnp.float32(3.402823466e38)
+_PI = jnp.float32(3.14159265358979323846)
+_BACKOFF = jnp.float32(1e-4)
+_ORIGIN_OFFSET = jnp.float32(1e-3)
+
+
+def supports(scene: Scene) -> bool:
+    return (
+        scene.triangles.count == 0
+        and 0 < scene.cubes.count + scene.spheres.count <= MAX_UNROLL
+    )
+
+
+class _Best(NamedTuple):
+    t: jnp.ndarray
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+    mat: jnp.ndarray  # int32 material id
+    miss: jnp.ndarray  # bool
+
+
+def _rsqrt(x):
+    return jax.lax.rsqrt(x)
+
+
+def _obj_ray(iv, ox, oy, oz, dx, dy, dz):
+    """Object-space ray (direction left unnormalized). iv: [4,4] traced."""
+    qox = iv[0, 0] * ox + iv[0, 1] * oy + iv[0, 2] * oz + iv[0, 3]
+    qoy = iv[1, 0] * ox + iv[1, 1] * oy + iv[1, 2] * oz + iv[1, 3]
+    qoz = iv[2, 0] * ox + iv[2, 1] * oy + iv[2, 2] * oz + iv[2, 3]
+    qdx = iv[0, 0] * dx + iv[0, 1] * dy + iv[0, 2] * dz
+    qdy = iv[1, 0] * dx + iv[1, 1] * dy + iv[1, 2] * dz
+    qdz = iv[2, 0] * dx + iv[2, 1] * dy + iv[2, 2] * dz
+    return qox, qoy, qoz, qdx, qdy, qdz
+
+
+def _world_normal(it, nox, noy, noz):
+    """invTranspose · n_obj, normalized."""
+    wx = it[0, 0] * nox + it[0, 1] * noy + it[0, 2] * noz
+    wy = it[1, 0] * nox + it[1, 1] * noy + it[1, 2] * noz
+    wz = it[2, 0] * nox + it[2, 1] * noy + it[2, 2] * noz
+    r = _rsqrt(wx * wx + wy * wy + wz * wz)
+    return wx * r, wy * r, wz * r
+
+
+def _cube_test(iv, it, ox, oy, oz, dx, dy, dz):
+    """Unit-cube slab test, reference tie-breaking (first-max / first-min).
+    Returns (t_world, hit, nx, ny, nz)."""
+    qox, qoy, qoz, qdx, qdy, qdz = _obj_ray(iv, ox, oy, oz, dx, dy, dz)
+    rinv = _rsqrt(qdx * qdx + qdy * qdy + qdz * qdz)
+
+    ix = 1.0 / qdx
+    iy = 1.0 / qdy
+    iz = 1.0 / qdz
+    t1x = (-0.5 - qox) * ix
+    t2x = (0.5 - qox) * ix
+    t1y = (-0.5 - qoy) * iy
+    t2y = (0.5 - qoy) * iy
+    t1z = (-0.5 - qoz) * iz
+    t2z = (0.5 - qoz) * iz
+    tax = jnp.minimum(t1x, t2x)
+    tbx = jnp.maximum(t1x, t2x)
+    tay = jnp.minimum(t1y, t2y)
+    tby = jnp.maximum(t1y, t2y)
+    taz = jnp.minimum(t1z, t2z)
+    tbz = jnp.maximum(t1z, t2z)
+    sx = jnp.where(t2x < t1x, 1.0, -1.0)
+    sy = jnp.where(t2y < t1y, 1.0, -1.0)
+    sz = jnp.where(t2z < t1z, 1.0, -1.0)
+
+    ax = jnp.where(tax > 0, tax, -_FMAX)
+    ay = jnp.where(tay > 0, tay, -_FMAX)
+    az = jnp.where(taz > 0, taz, -_FMAX)
+    bx = jnp.where(tbx < _FMAX, tbx, _FMAX)
+    by = jnp.where(tby < _FMAX, tby, _FMAX)
+    bz = jnp.where(tbz < _FMAX, tbz, _FMAX)
+
+    s_min = jnp.maximum(ax, jnp.maximum(ay, az))
+    s_max = jnp.minimum(bx, jnp.minimum(by, bz))
+
+    # first-max axis for entry face, first-min for exit face
+    min_is_x = (ax >= ay) & (ax >= az)
+    min_is_y = ~min_is_x & (ay >= az)
+    max_is_x = (bx <= by) & (bx <= bz)
+    max_is_y = ~max_is_x & (by <= bz)
+
+    outside = s_min > 0
+    hit = (s_max >= s_min) & (s_max > 0)
+    s = jnp.where(outside, s_min, s_max)
+
+    use_x = jnp.where(outside, min_is_x, max_is_x)
+    use_y = jnp.where(outside, min_is_y, max_is_y)
+    nox = jnp.where(use_x, sx, 0.0)
+    noy = jnp.where(use_y, sy, 0.0)
+    noz = jnp.where(use_x | use_y, 0.0, sz)
+
+    t_world = s - _BACKOFF * rinv
+    nx, ny, nz = _world_normal(it, nox, noy, noz)
+    return t_world, hit, nx, ny, nz
+
+
+def _sphere_test(iv, it, ox, oy, oz, dx, dy, dz):
+    """Canonical r=0.5 sphere quadratic (unnormalized direction form)."""
+    qox, qoy, qoz, qdx, qdy, qdz = _obj_ray(iv, ox, oy, oz, dx, dy, dz)
+    a = qdx * qdx + qdy * qdy + qdz * qdz
+    rinv = _rsqrt(a)
+    b = qox * qdx + qoy * qdy + qoz * qdz
+    c = qox * qox + qoy * qoy + qoz * qoz - 0.25
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = 1.0 / a
+    s1 = (-b + sq) * inv_a
+    s2 = (-b - sq) * inv_a
+    both_neg = (s1 < 0) & (s2 < 0)
+    both_pos = (s1 > 0) & (s2 > 0)
+    outside = both_pos
+    s = jnp.where(both_pos, jnp.minimum(s1, s2), jnp.maximum(s1, s2))
+    hit = (disc >= 0) & ~both_neg
+    t_world = s - _BACKOFF * rinv
+    # object-space hit point (with backoff) = q_o + t_world * q_d
+    pnx = qox + t_world * qdx
+    pny = qoy + t_world * qdy
+    pnz = qoz + t_world * qdz
+    nx, ny, nz = _world_normal(it, pnx, pny, pnz)
+    flip = jnp.where(outside, 1.0, -1.0)
+    return t_world, hit, nx * flip, ny * flip, nz * flip
+
+
+def intersect_unrolled(scene: Scene, ox, oy, oz, dx, dy, dz) -> _Best:
+    """Nearest hit over all primitives, running-winner unrolled loop."""
+    n = ox.shape[0]
+    best = _Best(
+        t=jnp.full((n,), _MISS),
+        nx=jnp.zeros((n,)),
+        ny=jnp.zeros((n,)),
+        nz=jnp.zeros((n,)),
+        mat=jnp.zeros((n,), jnp.int32),
+        miss=jnp.ones((n,), bool),
+    )
+
+    def consider(best, t, hit, nx, ny, nz, mat_id):
+        better = hit & (t > 0) & (t < best.t)
+        return _Best(
+            t=jnp.where(better, t, best.t),
+            nx=jnp.where(better, nx, best.nx),
+            ny=jnp.where(better, ny, best.ny),
+            nz=jnp.where(better, nz, best.nz),
+            mat=jnp.where(better, mat_id, best.mat),
+            miss=best.miss & ~better,
+        )
+
+    for k in range(scene.cubes.count):
+        t, hit, nx, ny, nz = _cube_test(
+            scene.cubes.inv_transform[k],
+            scene.cubes.inv_transpose[k],
+            ox, oy, oz, dx, dy, dz,
+        )
+        best = consider(best, t, hit, nx, ny, nz, scene.cubes.material_id[k])
+    for k in range(scene.spheres.count):
+        t, hit, nx, ny, nz = _sphere_test(
+            scene.spheres.inv_transform[k],
+            scene.spheres.inv_transpose[k],
+            ox, oy, oz, dx, dy, dz,
+        )
+        best = consider(best, t, hit, nx, ny, nz, scene.spheres.material_id[k])
+    return best
+
+
+def _select_material(materials, mat_id):
+    """Unrolled per-lane material fetch (the VMEM-resident analog of the
+    reference's shared-memory material cache)."""
+    m = materials.color.shape[0]
+    fields = dict(
+        cr=0.0, cg=0.0, cb=0.0, sr=0.0, sg=0.0, sb=0.0, refl=0.0, refr=0.0,
+        emit=0.0,
+    )
+    out = {k: jnp.zeros_like(mat_id, dtype=jnp.float32) for k in fields}
+    for i in range(m):
+        sel = mat_id == i
+        out["cr"] = jnp.where(sel, materials.color[i, 0], out["cr"])
+        out["cg"] = jnp.where(sel, materials.color[i, 1], out["cg"])
+        out["cb"] = jnp.where(sel, materials.color[i, 2], out["cb"])
+        out["sr"] = jnp.where(sel, materials.specular_color[i, 0], out["sr"])
+        out["sg"] = jnp.where(sel, materials.specular_color[i, 1], out["sg"])
+        out["sb"] = jnp.where(sel, materials.specular_color[i, 2], out["sb"])
+        out["refl"] = jnp.where(sel, materials.reflectivity[i], out["refl"])
+        out["refr"] = jnp.where(sel, materials.refractive[i], out["refr"])
+        out["emit"] = jnp.where(sel, materials.emittance[i], out["emit"])
+    return out
+
+
+def _local_frame(vx, vy, vz):
+    """createLocalCoordinateSystem, componentwise (`pathtrace.cu:216-223`)."""
+    use_a = jnp.abs(vx) > jnp.abs(vy)
+    tx = jnp.where(use_a, vz, 0.0)
+    ty = jnp.where(use_a, 0.0, -vz)
+    tz = jnp.where(use_a, -vx, vy)
+    r = _rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-20))
+    tx, ty, tz = tx * r, ty * r, tz * r
+    bx = vy * tz - vz * ty
+    by = vz * tx - vx * tz
+    bz = vx * ty - vy * tx
+    return tx, ty, tz, bx, by, bz
+
+
+def trace_sample_fast(
+    scene: Scene,
+    config,
+    base_key,
+    iteration,
+    pixel_offset=0,
+    num_pixels=None,
+):
+    """Full per-sample wavefront (raygen → bounce loop → radiance), SoA.
+
+    Returns an [N, 3] radiance (light_only) or terminal-throughput
+    (throughput mode) image contribution, matching render.engine.trace_sample.
+    """
+    from . import rng as rng_ops
+
+    cam = scene.camera
+    w, h = cam.resolution
+    n = num_pixels if num_pixels is not None else cam.pixel_count
+    legacy = config.gather_mode == "throughput"
+
+    idx = pixel_offset + jnp.arange(n, dtype=jnp.int32)
+    px = (idx % w).astype(jnp.float32)
+    py = (idx // w).astype(jnp.float32)
+    if config.antialias:
+        jit2 = rng_ops.pixel_jitter(base_key, iteration, n)
+        px = px + jit2[:, 0]
+        py = py + jit2[:, 1]
+    sx = cam.pixel_length[0] * (px - 0.5 * w)
+    sy = cam.pixel_length[1] * (py - 0.5 * h)
+    dx = cam.view[0] - cam.right[0] * sx - cam.up[0] * sy
+    dy = cam.view[1] - cam.right[1] * sx - cam.up[1] * sy
+    dz = cam.view[2] - cam.right[2] * sx - cam.up[2] * sy
+    r = _rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * r, dy * r, dz * r
+    ox = jnp.broadcast_to(cam.position[0], (n,))
+    oy = jnp.broadcast_to(cam.position[1], (n,))
+    oz = jnp.broadcast_to(cam.position[2], (n,))
+
+    ones = jnp.ones((n,), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
+    carry = (
+        ox, oy, oz, dx, dy, dz,
+        ones, ones, ones,  # throughput r,g,b
+        jnp.full((n,), config.trace_depth, jnp.int32),  # bounces
+        zeros, zeros, zeros,  # radiance r,g,b
+    )
+
+    def bounce(carry, depth):
+        (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_) = carry
+        key = rng_ops.bounce_key(base_key, iteration, depth)
+        u = jax.random.uniform(key, (rng_ops.NUM_LANES, n), jnp.float32)
+        u_rr, u_branch, u_a, u_b, u_c = u[0], u[1], u[2], u[3], u[4]
+
+        best = intersect_unrolled(scene, ox, oy, oz, dx, dy, dz)
+        alive = bounces > 0
+        missed = best.miss
+
+        # sky (`pathtrace.cu:358-362`)
+        t_sky = 0.5 * (dy + 1.0)
+        sky_r = ((1.0 - t_sky) + t_sky * 0.5) * 0.5
+        sky_g = ((1.0 - t_sky) + t_sky * 0.7) * 0.5
+        sky_b = ((1.0 - t_sky) + t_sky * 1.0) * 0.5
+        if legacy:
+            cr = jnp.where(missed, cr * sky_r, cr)
+            cg = jnp.where(missed, cg * sky_g, cg)
+            cb = jnp.where(missed, cb * sky_b, cb)
+        elif config.sky_strength:
+            esc = missed & alive
+            ss = jnp.float32(config.sky_strength)
+            rr_ = jnp.where(esc, rr_ + cr * sky_r * ss, rr_)
+            rg_ = jnp.where(esc, rg_ + cg * sky_g * ss, rg_)
+            rb_ = jnp.where(esc, rb_ + cb * sky_b * ss, rb_)
+
+        act = ~missed & alive
+        mat = _select_material(scene.materials, best.mat)
+
+        # emissive termination
+        emissive = mat["emit"] > 0.0
+        hit_light = act & emissive
+        if legacy:
+            cr = jnp.where(hit_light, cr * mat["cr"] * mat["emit"], cr)
+            cg = jnp.where(hit_light, cg * mat["cg"] * mat["emit"], cg)
+            cb = jnp.where(hit_light, cb * mat["cb"] * mat["emit"], cb)
+        else:
+            rr_ = jnp.where(hit_light, rr_ + cr * mat["cr"] * mat["emit"], rr_)
+            rg_ = jnp.where(hit_light, rg_ + cg * mat["cg"] * mat["emit"], rg_)
+            rb_ = jnp.where(hit_light, rb_ + cb * mat["cb"] * mat["emit"], rb_)
+        act = act & ~emissive
+
+        # Russian roulette
+        rr_on = depth > jnp.int32(config.rr_start_depth)
+        p_cont = jnp.maximum(mat["cr"], jnp.maximum(mat["cg"], mat["cb"]))
+        rr_kill = act & rr_on & (u_rr > p_cont)
+        rr_boost = jnp.where(
+            act & rr_on & ~rr_kill, 1.0 / jnp.maximum(p_cont, 1e-12), 1.0
+        )
+        cr, cg, cb = cr * rr_boost, cg * rr_boost, cb * rr_boost
+        act = act & ~rr_kill
+
+        # scatter
+        nx, ny, nz = best.nx, best.ny, best.nz
+        refl = mat["refl"]
+        rough = 1.0 - mat["refr"]
+        spec = act & (refl > 0.0) & (u_branch < refl)
+
+        # mirror + cone perturb around the reflected direction
+        ddn = dx * nx + dy * ny + dz * nz
+        rx = dx - 2.0 * ddn * nx
+        ry = dy - 2.0 * ddn * ny
+        rz = dz - 2.0 * ddn * nz
+        tx, ty, tz, bx, by, bz = _local_frame(rx, ry, rz)
+        ang = rough * u_a * (_PI * 0.5)
+        sa = jnp.sin(ang)
+        ca = jnp.cos(ang)
+        ph_s = 2.0 * _PI * u_c
+        cp_s = jnp.cos(ph_s)
+        sp_s = jnp.sin(ph_s)
+        wx, wy, wz = sa * cp_s, ca, sa * sp_s
+        sdx = tx * wx + rx * wy + bx * wz
+        sdy = ty * wx + ry * wy + by * wz
+        sdz = tz * wx + rz * wy + bz * wz
+        rs = _rsqrt(jnp.maximum(sdx * sdx + sdy * sdy + sdz * sdz, 1e-20))
+        sdx, sdy, sdz = sdx * rs, sdy * rs, sdz * rs
+
+        # cosine-weighted diffuse: cosθ=√(1-u_a), sinθ=√u_a (trig-free polar)
+        tx2, ty2, tz2, bx2, by2, bz2 = _local_frame(nx, ny, nz)
+        st = jnp.sqrt(u_a)
+        ct = jnp.sqrt(jnp.maximum(1.0 - u_a, 0.0))
+        ph_d = 2.0 * _PI * u_b
+        cp_d = jnp.cos(ph_d)
+        sp_d = jnp.sin(ph_d)
+        qx, qy, qz = st * cp_d, ct, st * sp_d
+        ddx = tx2 * qx + nx * qy + bx2 * qz
+        ddy = ty2 * qx + ny * qy + by2 * qz
+        ddz = tz2 * qx + nz * qy + bz2 * qz
+        rd = _rsqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-20))
+        ddx, ddy, ddz = ddx * rd, ddy * rd, ddz * rd
+
+        new_dx = jnp.where(spec, sdx, ddx)
+        new_dy = jnp.where(spec, sdy, ddy)
+        new_dz = jnp.where(spec, sdz, ddz)
+        tint_r = jnp.where(spec, mat["sr"], mat["cr"])
+        tint_g = jnp.where(spec, mat["sg"], mat["cg"])
+        tint_b = jnp.where(spec, mat["sb"], mat["cb"])
+
+        # hit point = o + t·d (exact algebra, see module docstring)
+        hx = ox + best.t * dx + nx * _ORIGIN_OFFSET
+        hy = oy + best.t * dy + ny * _ORIGIN_OFFSET
+        hz = oz + best.t * dz + nz * _ORIGIN_OFFSET
+
+        cr = jnp.where(act, cr * tint_r, cr)
+        cg = jnp.where(act, cg * tint_g, cg)
+        cb = jnp.where(act, cb * tint_b, cb)
+        ox = jnp.where(act, hx, ox)
+        oy = jnp.where(act, hy, oy)
+        oz = jnp.where(act, hz, oz)
+        dx = jnp.where(act, new_dx, dx)
+        dy = jnp.where(act, new_dy, dy)
+        dz = jnp.where(act, new_dz, dz)
+        bounces = jnp.where(act, bounces - 1, jnp.zeros_like(bounces))
+
+        return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_), None
+
+    carry, _ = jax.lax.scan(
+        bounce, carry, jnp.arange(config.trace_depth, dtype=jnp.int32)
+    )
+    (_, _, _, _, _, _, cr, cg, cb, _, rr_, rg_, rb_) = carry
+    if legacy:
+        return jnp.stack([cr, cg, cb], axis=-1)
+    return jnp.stack([rr_, rg_, rb_], axis=-1)

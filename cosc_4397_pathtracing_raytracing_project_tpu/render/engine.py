@@ -49,6 +49,19 @@ class RenderConfig:
     # finalGather-of-throughputs.
     gather_mode: str = "light_only"
     sky_strength: float = 0.0  # environment strength in light_only mode
+    # Pipeline: 'fast' = SoA unrolled hot path (ops.fast), 'reference' =
+    # readable [N,3] path (ops.intersect/shade), 'auto' picks fast when the
+    # scene qualifies (analytic primitives only, small count).
+    pipeline: str = "auto"
+
+    def resolve_pipeline(self, scene: Scene) -> str:
+        if self.pipeline != "auto":
+            return self.pipeline
+        from ..ops import fast as fast_mod
+
+        if self.intersector in ("auto", "bruteforce") and fast_mod.supports(scene):
+            return "fast"
+        return "reference"
 
     def resolve_intersector(self, scene: Scene) -> str:
         if self.intersector != "auto":
@@ -85,6 +98,13 @@ def trace_sample(
     ``image[pixel] += color``, `pathtrace.cu:439-444`, happens in the
     caller's accumulate). `pixel_offset`/`num_pixels` select a contiguous
     tile of the flat pixel array (used by the sharded multi-chip path)."""
+    if intersector is None and config.resolve_pipeline(scene) == "fast":
+        from ..ops import fast as fast_mod
+
+        return fast_mod.trace_sample_fast(
+            scene, config, base_key, iteration, pixel_offset, num_pixels
+        )
+
     cam = scene.camera
     n = num_pixels if num_pixels is not None else cam.pixel_count
     isect = intersector if intersector is not None else intersect_scene
@@ -186,11 +206,20 @@ class Renderer:
         self.config = config
         self.state = RenderState.create(self.scene.camera.pixel_count, seed)
         self.metrics = MetricsTracker(self.scene.camera.pixel_count)
-        self._intersector = make_intersector(self.scene, config)
-        self._step = jax.jit(
-            partial(render_chunk, intersector=self._intersector),
-            static_argnames=("config", "num_samples"),
-        )
+        # the fast SoA pipeline carries its own fused intersector
+        if config.resolve_pipeline(self.scene) == "fast":
+            self._intersector = None
+        else:
+            self._intersector = make_intersector(self.scene, config)
+        # A distinct closure per Renderer: sharing a HashablePartial across
+        # jit wrappers aliases their executable caches in jax 0.9 (observed
+        # as "supplied N buffers but compiled program expected M").
+        isect = self._intersector
+
+        def _chunk(scene, state, config, num_samples):
+            return render_chunk(scene, state, config, num_samples, isect)
+
+        self._step = jax.jit(_chunk, static_argnames=("config", "num_samples"))
 
     @property
     def iteration(self) -> int:
