@@ -1,0 +1,582 @@
+"""Pallas TPU megakernel: an entire batch of path-traced samples per dispatch.
+
+The reference pays ~18 synchronizing kernel launches + a full-frame D2H copy
+per sample (`pathtrace.cu:529-653`). The XLA fast path (ops.fast) fuses a
+sample into a handful of kernels but still round-trips the 13-array wavefront
+carry through HBM every bounce. This kernel eliminates that too:
+
+- grid over pixel tiles (TILE_ROWS×128 lanes); each tile's wavefront state
+  (origins, directions, throughput, bounce counters, radiance) lives in
+  VMEM/vector registers for the *whole* sample batch;
+- scene constants (camera, geometry matrices, materials) are scalar SMEM
+  reads, the TPU analog of the reference's shared-memory material cache
+  (`pathtrace.cu:343-350`);
+- randomness is the on-core hardware PRNG (`pltpu.prng_random_bits`),
+  reseeded per (seed, iteration, bounce, tile) so every bounce is replayable,
+  mirroring the counter-based design of ops.rng;
+- HBM traffic per chunk is just the pixel-coordinate load + radiance store —
+  nothing per sample, nothing per bounce.
+
+Geometry/shading semantics are identical to ops.fast (see that module and
+ops.intersect/shade for the reference-code citations).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...scene.structs import Scene
+
+TILE_ROWS = 128
+LANES = 128
+TILE = TILE_ROWS * LANES
+
+_PI = 3.14159265358979323846
+_FMAX = 3.402823466e38
+_MISS = 1e30
+_BACKOFF = 1e-4
+_ORIGIN_OFFSET = 1e-3
+
+# geometry record layout in the packed SMEM table (floats per geom)
+_GF = 21  # inv(12) + invT(9); material id packed separately
+
+
+def _recip(x):
+    """Fast reciprocal: hardware approximation + one Newton-Raphson step
+    (~23-bit accurate, several cycles cheaper than exact f32 divide).
+    Preserves IEEE edge cases we rely on: 1/0 → ±inf (approx returns ±inf),
+    and the Newton step keeps inf·finite → inf, nan → nan."""
+    r0 = pl.reciprocal(x, approx=True)
+    r1 = r0 * (2.0 - x * r0)
+    # inf/nan lanes: Newton gives inf*0 → nan; restore the raw approximation
+    return jnp.where(jnp.isfinite(r1), r1, r0)
+
+
+def _u01(shape):
+    # prng_random_bits yields signed int32 — bitcast before shifting, or the
+    # arithmetic shift produces "uniforms" in [-0.5, 0.5).
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)  # < 2^24, positive
+    return top24.astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
+def _mix(*xs):
+    h = jnp.uint32(0x9E3779B9)
+    out = jnp.uint32(0)
+    for i, x in enumerate(xs):
+        xi = jnp.asarray(x).astype(jnp.uint32)
+        out = out ^ (xi * (h + jnp.uint32(2 * i + 1)))
+        out = out * jnp.uint32(0x85EBCA6B)
+        out = out ^ (out >> jnp.uint32(13))
+    return out
+
+
+def _pack_scene(scene: Scene) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(geo [K*_GF] f32, geo_mat [K] i32, mats [M*9] f32) packed tables."""
+
+    def pack_batch(b):
+        if b.count == 0:
+            return jnp.zeros((0, _GF), jnp.float32)
+        inv = b.inv_transform[:, :3, :4].reshape(b.count, 12)
+        invt = b.inv_transpose[:, :3, :3].reshape(b.count, 9)
+        return jnp.concatenate([inv, invt], axis=1)
+
+    geo = jnp.concatenate(
+        [pack_batch(scene.cubes), pack_batch(scene.spheres)], axis=0
+    ).reshape(-1)
+    geo_mat = jnp.concatenate(
+        [scene.cubes.material_id, scene.spheres.material_id], axis=0
+    )
+    m = scene.materials
+    mats = jnp.concatenate(
+        [
+            m.color,
+            m.specular_color,
+            m.reflectivity[:, None],
+            m.refractive[:, None],
+            m.emittance[:, None],
+        ],
+        axis=1,
+    ).reshape(-1)
+    return geo, geo_mat, mats
+
+
+ABLATION = ""  # perf diagnosis only: 'noprng' | 'nointersect' | 'noscatter'
+
+
+def _make_kernel(
+    *,
+    num_cubes: int,
+    num_spheres: int,
+    num_materials: int,
+    trace_depth: int,
+    num_samples: int,
+    rr_start_depth: int,
+    legacy: bool,
+    sky_strength: float,
+    antialias: bool,
+    width: int,
+    height: int,
+):
+    k_total = num_cubes + num_spheres
+
+    def kernel(scal_ref, cam_ref, geo_ref, gmat_ref, mat_ref, px_ref, py_ref,
+               or_ref, og_ref, ob_ref):
+        tile = pl.program_id(0)
+        seed = scal_ref[0]
+        iter_base = scal_ref[1]
+
+        pos = [cam_ref[0], cam_ref[1], cam_ref[2]]
+        view = [cam_ref[3], cam_ref[4], cam_ref[5]]
+        right = [cam_ref[6], cam_ref[7], cam_ref[8]]
+        up = [cam_ref[9], cam_ref[10], cam_ref[11]]
+        plx = cam_ref[12]
+        ply = cam_ref[13]
+
+        px = px_ref[:]
+        py = py_ref[:]
+        shape = px.shape
+
+        # Hoist every scalar table read to kernel entry: SMEM loads inside the
+        # sample/bounce loops would re-issue on the scalar unit each iteration
+        # and stall the vector pipeline.
+        geo_rows = []
+        for k in range(k_total):
+            base = k * _GF
+            iv = [geo_ref[base + j] for j in range(12)]
+            it = [geo_ref[base + 12 + j] for j in range(9)]
+            geo_rows.append((iv, it))
+        gmat = [gmat_ref[k] for k in range(k_total)]
+        mat_rows = [
+            [mat_ref[i * 9 + j] for j in range(9)] for i in range(num_materials)
+        ]
+
+        def sample_body(s, acc):
+            acc_r, acc_g, acc_b = acc
+            iteration = iter_base + s
+
+            # ── raygen (generateRayFromCamera, `pathtrace.cu:270-286`) ──
+            if antialias:
+                pltpu.prng_seed(_mix(seed, iteration, jnp.int32(0xAA), tile))
+                jx = _u01(shape)
+                jy = _u01(shape)
+                fx = px + jx
+                fy = py + jy
+            else:
+                fx = px
+                fy = py
+            sx = plx * (fx - 0.5 * width)
+            sy = ply * (fy - 0.5 * height)
+            dx = view[0] - right[0] * sx - up[0] * sy
+            dy = view[1] - right[1] * sx - up[1] * sy
+            dz = view[2] - right[2] * sx - up[2] * sy
+            rn = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            dx, dy, dz = dx * rn, dy * rn, dz * rn
+            ox = jnp.full(shape, pos[0])
+            oy = jnp.full(shape, pos[1])
+            oz = jnp.full(shape, pos[2])
+            cr = jnp.ones(shape, jnp.float32)
+            cg = jnp.ones(shape, jnp.float32)
+            cb = jnp.ones(shape, jnp.float32)
+            bounces = jnp.full(shape, trace_depth, jnp.int32)
+            rad_r = jnp.zeros(shape, jnp.float32)
+            rad_g = jnp.zeros(shape, jnp.float32)
+            rad_b = jnp.zeros(shape, jnp.float32)
+
+            def bounce_body(depth, st):
+                (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
+                 rad_r, rad_g, rad_b) = st
+                if ABLATION == "noprng":
+                    u_rr = u_branch = u_a = u_b = u_c = px * 0.001
+                else:
+                    pltpu.prng_seed(_mix(seed, iteration, depth, tile))
+                    u_rr = _u01(shape)
+                    u_branch = _u01(shape)
+                    u_a = _u01(shape)
+                    u_b = _u01(shape)
+                    u_c = _u01(shape)
+
+                # ── nearest hit, unrolled over primitives ──
+                best_t = jnp.full(shape, _MISS)
+                best_nx = jnp.zeros(shape, jnp.float32)
+                best_ny = jnp.zeros(shape, jnp.float32)
+                best_nz = jnp.zeros(shape, jnp.float32)
+                best_mat = jnp.zeros(shape, jnp.int32)
+                best_k = jnp.zeros(shape, jnp.int32)
+
+                for k in range(0 if ABLATION == "nointersect" else k_total):
+                    iv, it = geo_rows[k]
+                    qox = iv[0] * ox + iv[1] * oy + iv[2] * oz + iv[3]
+                    qoy = iv[4] * ox + iv[5] * oy + iv[6] * oz + iv[7]
+                    qoz = iv[8] * ox + iv[9] * oy + iv[10] * oz + iv[11]
+                    qdx = iv[0] * dx + iv[1] * dy + iv[2] * dz
+                    qdy = iv[4] * dx + iv[5] * dy + iv[6] * dz
+                    qdz = iv[8] * dx + iv[9] * dy + iv[10] * dz
+                    nq2 = qdx * qdx + qdy * qdy + qdz * qdz
+                    rinv = jax.lax.rsqrt(nq2)
+
+                    if k < num_cubes:
+                        ix = _recip(qdx)
+                        iy = _recip(qdy)
+                        iz = _recip(qdz)
+                        t1x = (-0.5 - qox) * ix
+                        t2x = (0.5 - qox) * ix
+                        t1y = (-0.5 - qoy) * iy
+                        t2y = (0.5 - qoy) * iy
+                        t1z = (-0.5 - qoz) * iz
+                        t2z = (0.5 - qoz) * iz
+                        tax = jnp.minimum(t1x, t2x)
+                        tbx = jnp.maximum(t1x, t2x)
+                        tay = jnp.minimum(t1y, t2y)
+                        tby = jnp.maximum(t1y, t2y)
+                        taz = jnp.minimum(t1z, t2z)
+                        tbz = jnp.maximum(t1z, t2z)
+                        sgx = jnp.where(t2x < t1x, 1.0, -1.0)
+                        sgy = jnp.where(t2y < t1y, 1.0, -1.0)
+                        sgz = jnp.where(t2z < t1z, 1.0, -1.0)
+                        ax = jnp.where(tax > 0, tax, -_FMAX)
+                        ay = jnp.where(tay > 0, tay, -_FMAX)
+                        az = jnp.where(taz > 0, taz, -_FMAX)
+                        bx = jnp.where(tbx < _FMAX, tbx, _FMAX)
+                        by = jnp.where(tby < _FMAX, tby, _FMAX)
+                        bz = jnp.where(tbz < _FMAX, tbz, _FMAX)
+                        s_min = jnp.maximum(ax, jnp.maximum(ay, az))
+                        s_max = jnp.minimum(bx, jnp.minimum(by, bz))
+                        min_is_x = (ax >= ay) & (ax >= az)
+                        min_is_y = ~min_is_x & (ay >= az)
+                        max_is_x = (bx <= by) & (bx <= bz)
+                        max_is_y = ~max_is_x & (by <= bz)
+                        outside = s_min > 0
+                        hit = (s_max >= s_min) & (s_max > 0)
+                        sparam = jnp.where(outside, s_min, s_max)
+                        # NB: bool-valued jnp.where (i1 select) doesn't lower
+                        # in Mosaic — use boolean algebra instead.
+                        use_x = (outside & min_is_x) | (~outside & max_is_x)
+                        use_y = (outside & min_is_y) | (~outside & max_is_y)
+                        nox = jnp.where(use_x, sgx, 0.0)
+                        noy = jnp.where(use_y, sgy, 0.0)
+                        noz = jnp.where(use_x | use_y, 0.0, sgz)
+                        t_world = sparam - _BACKOFF * rinv
+                    else:
+                        b = qox * qdx + qoy * qdy + qoz * qdz
+                        c = qox * qox + qoy * qoy + qoz * qoz - 0.25
+                        disc = b * b - nq2 * c
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        inv_a = _recip(nq2)
+                        s1 = (-b + sq) * inv_a
+                        s2 = (-b - sq) * inv_a
+                        both_neg = (s1 < 0) & (s2 < 0)
+                        both_pos = (s1 > 0) & (s2 > 0)
+                        sparam = jnp.where(
+                            both_pos, jnp.minimum(s1, s2), jnp.maximum(s1, s2)
+                        )
+                        hit = (disc >= 0) & ~both_neg
+                        t_world = sparam - _BACKOFF * rinv
+                        flip = jnp.where(both_pos, 1.0, -1.0)
+                        nox = (qox + t_world * qdx) * flip
+                        noy = (qoy + t_world * qdy) * flip
+                        noz = (qoz + t_world * qdz) * flip
+
+                    # carry the OBJECT-space normal; the inverse-transpose
+                    # transform + normalize runs once for the winner only
+                    better = hit & (t_world > 0) & (t_world < best_t)
+                    best_t = jnp.where(better, t_world, best_t)
+                    best_nx = jnp.where(better, nox, best_nx)
+                    best_ny = jnp.where(better, noy, best_ny)
+                    best_nz = jnp.where(better, noz, best_nz)
+                    best_mat = jnp.where(better, gmat[k], best_mat)
+                    best_k = jnp.where(better, k, best_k)
+
+                # winner-only normal transform: select the winner's
+                # inverse-transpose entries, one matvec + normalize
+                w_it = [jnp.zeros(shape, jnp.float32) for _ in range(9)]
+                for k in range(0 if ABLATION == "nointersect" else k_total):
+                    sel = best_k == k
+                    it = geo_rows[k][1]
+                    for j in range(9):
+                        w_it[j] = jnp.where(sel, it[j], w_it[j])
+                wx = w_it[0] * best_nx + w_it[1] * best_ny + w_it[2] * best_nz
+                wy = w_it[3] * best_nx + w_it[4] * best_ny + w_it[5] * best_nz
+                wz = w_it[6] * best_nx + w_it[7] * best_ny + w_it[8] * best_nz
+                rw = jax.lax.rsqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-30))
+                best_nx = wx * rw
+                best_ny = wy * rw
+                best_nz = wz * rw
+
+                missed = best_t >= _MISS
+                alive = bounces > 0
+
+                # ── sky (`pathtrace.cu:358-362`) ──
+                t_sky = 0.5 * (dy + 1.0)
+                sky_r = ((1.0 - t_sky) + t_sky * 0.5) * 0.5
+                sky_g = ((1.0 - t_sky) + t_sky * 0.7) * 0.5
+                sky_b = ((1.0 - t_sky) + t_sky * 1.0) * 0.5
+                if legacy:
+                    cr = jnp.where(missed, cr * sky_r, cr)
+                    cg = jnp.where(missed, cg * sky_g, cg)
+                    cb = jnp.where(missed, cb * sky_b, cb)
+                elif sky_strength:
+                    esc = missed & alive
+                    ss = jnp.float32(sky_strength)
+                    rad_r = jnp.where(esc, rad_r + cr * sky_r * ss, rad_r)
+                    rad_g = jnp.where(esc, rad_g + cg * sky_g * ss, rad_g)
+                    rad_b = jnp.where(esc, rad_b + cb * sky_b * ss, rad_b)
+
+                act = ~missed & alive
+
+                # ── material select (shared-mem cache analog) ──
+                m_cr = jnp.zeros(shape, jnp.float32)
+                m_cg = jnp.zeros(shape, jnp.float32)
+                m_cb = jnp.zeros(shape, jnp.float32)
+                m_sr = jnp.zeros(shape, jnp.float32)
+                m_sg = jnp.zeros(shape, jnp.float32)
+                m_sb = jnp.zeros(shape, jnp.float32)
+                m_refl = jnp.zeros(shape, jnp.float32)
+                m_refr = jnp.zeros(shape, jnp.float32)
+                m_emit = jnp.zeros(shape, jnp.float32)
+                for i in range(num_materials):
+                    sel = best_mat == i
+                    row = mat_rows[i]
+                    m_cr = jnp.where(sel, row[0], m_cr)
+                    m_cg = jnp.where(sel, row[1], m_cg)
+                    m_cb = jnp.where(sel, row[2], m_cb)
+                    m_sr = jnp.where(sel, row[3], m_sr)
+                    m_sg = jnp.where(sel, row[4], m_sg)
+                    m_sb = jnp.where(sel, row[5], m_sb)
+                    m_refl = jnp.where(sel, row[6], m_refl)
+                    m_refr = jnp.where(sel, row[7], m_refr)
+                    m_emit = jnp.where(sel, row[8], m_emit)
+
+                # ── emissive termination ──
+                emissive = m_emit > 0.0
+                hit_light = act & emissive
+                if legacy:
+                    cr = jnp.where(hit_light, cr * m_cr * m_emit, cr)
+                    cg = jnp.where(hit_light, cg * m_cg * m_emit, cg)
+                    cb = jnp.where(hit_light, cb * m_cb * m_emit, cb)
+                else:
+                    rad_r = jnp.where(hit_light, rad_r + cr * m_cr * m_emit, rad_r)
+                    rad_g = jnp.where(hit_light, rad_g + cg * m_cg * m_emit, rad_g)
+                    rad_b = jnp.where(hit_light, rad_b + cb * m_cb * m_emit, rad_b)
+                act = act & ~emissive
+
+                # ── Russian roulette (depth is a static unrolled index, so
+                # pre-RR bounces compile to nothing) ──
+                if depth > rr_start_depth:
+                    p_cont = jnp.maximum(m_cr, jnp.maximum(m_cg, m_cb))
+                    rr_kill = act & (u_rr > p_cont)
+                    keep = act & ~rr_kill
+                    boost = jnp.where(
+                        keep, _recip(jnp.maximum(p_cont, 1e-12)), 1.0
+                    )
+                    cr = cr * boost
+                    cg = cg * boost
+                    cb = cb * boost
+                    act = act & ~rr_kill
+
+                # ── scatter ──
+                if ABLATION == "noscatter":
+                    bounces = jnp.where(act, bounces - 1, jnp.zeros_like(bounces))
+                    ox = ox + u_a * 0.001  # keep u's live
+                    return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
+                            rad_r, rad_g, rad_b)
+                nx, ny, nz = best_nx, best_ny, best_nz
+                rough = 1.0 - m_refr
+                spec = act & (m_refl > 0.0) & (u_branch < m_refl)
+
+                ddn = dx * nx + dy * ny + dz * nz
+                rx = dx - 2.0 * ddn * nx
+                ry = dy - 2.0 * ddn * ny
+                rz = dz - 2.0 * ddn * nz
+
+                def frame(vx, vy, vz):
+                    use_a = jnp.abs(vx) > jnp.abs(vy)
+                    tx = jnp.where(use_a, vz, 0.0)
+                    ty = jnp.where(use_a, 0.0, -vz)
+                    tz = jnp.where(use_a, -vx, vy)
+                    r = jax.lax.rsqrt(
+                        jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-20)
+                    )
+                    tx, ty, tz = tx * r, ty * r, tz * r
+                    bx = vy * tz - vz * ty
+                    by = vz * tx - vx * tz
+                    bz = vx * ty - vy * tx
+                    return tx, ty, tz, bx, by, bz
+
+                tx, ty, tz, bxv, byv, bzv = frame(rx, ry, rz)
+                ang = rough * u_a * jnp.float32(_PI * 0.5)
+                sa = jnp.sin(ang)
+                ca = jnp.cos(ang)
+                ph = 2.0 * jnp.float32(_PI) * u_c
+                cps = jnp.cos(ph)
+                sps = jnp.sin(ph)
+                # (t, r, b) is orthonormal and (sa·cps, ca, sa·sps) is unit, so
+                # the combined direction is already unit — no renormalize.
+                sacps = sa * cps
+                sasps = sa * sps
+                sdx = tx * sacps + rx * ca + bxv * sasps
+                sdy = ty * sacps + ry * ca + byv * sasps
+                sdz = tz * sacps + rz * ca + bzv * sasps
+
+                tx2, ty2, tz2, bx2, by2, bz2 = frame(nx, ny, nz)
+                st_ = jnp.sqrt(u_a)
+                ct_ = jnp.sqrt(jnp.maximum(1.0 - u_a, 0.0))
+                ph2 = 2.0 * jnp.float32(_PI) * u_b
+                cp2 = jnp.cos(ph2)
+                sp2 = jnp.sin(ph2)
+                stcp = st_ * cp2
+                stsp = st_ * sp2
+                ddx = tx2 * stcp + nx * ct_ + bx2 * stsp
+                ddy = ty2 * stcp + ny * ct_ + by2 * stsp
+                ddz = tz2 * stcp + nz * ct_ + bz2 * stsp
+
+                ndx = jnp.where(spec, sdx, ddx)
+                ndy = jnp.where(spec, sdy, ddy)
+                ndz = jnp.where(spec, sdz, ddz)
+                t_r = jnp.where(spec, m_sr, m_cr)
+                t_g = jnp.where(spec, m_sg, m_cg)
+                t_b = jnp.where(spec, m_sb, m_cb)
+
+                hx = ox + best_t * dx + nx * _ORIGIN_OFFSET
+                hy = oy + best_t * dy + ny * _ORIGIN_OFFSET
+                hz = oz + best_t * dz + nz * _ORIGIN_OFFSET
+
+                cr = jnp.where(act, cr * t_r, cr)
+                cg = jnp.where(act, cg * t_g, cg)
+                cb = jnp.where(act, cb * t_b, cb)
+                ox = jnp.where(act, hx, ox)
+                oy = jnp.where(act, hy, oy)
+                oz = jnp.where(act, hz, oz)
+                dx = jnp.where(act, ndx, dx)
+                dy = jnp.where(act, ndy, dy)
+                dz = jnp.where(act, ndz, dz)
+                bounces = jnp.where(act, bounces - 1, jnp.zeros_like(bounces))
+
+                return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
+                        rad_r, rad_g, rad_b)
+
+            st = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
+                  rad_r, rad_g, rad_b)
+            # Unrolled bounce loop: a fori_loop here costs ~0.3 ms/bounce in
+            # carry copies + loop control — more than the bounce's compute.
+            for depth in range(trace_depth):
+                st = bounce_body(depth, st)
+            (_, _, _, _, _, _, cr, cg, cb, _, rad_r, rad_g, rad_b) = st
+            if legacy:
+                return (acc_r + cr, acc_g + cg, acc_b + cb)
+            return (acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
+
+        acc = (
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+        )
+        acc = jax.lax.fori_loop(0, num_samples, sample_body, acc)
+        or_ref[:] = acc[0]
+        og_ref[:] = acc[1]
+        ob_ref[:] = acc[2]
+
+    return kernel
+
+
+def supports(scene: Scene) -> bool:
+    from .. import fast
+
+    return fast.supports(scene)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "num_samples", "interpret"),
+)
+def render_samples(
+    scene: Scene,
+    config,
+    seed: jnp.ndarray,
+    iter_base: jnp.ndarray,
+    num_samples: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Render `num_samples` full-frame samples in one kernel dispatch.
+
+    Returns the [N, 3] radiance *sum* over the batch (caller adds to accum).
+    `seed`/`iter_base` are traced int32 scalars, so advancing iterations never
+    recompiles."""
+    cam = scene.camera
+    w, h = cam.resolution
+    n = w * h
+
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    rows = n_pad // LANES
+
+    # pixel coordinates, padded; iota avoids integer div/mod on device
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    px = col.reshape(-1).astype(jnp.float32)
+    py = row.reshape(-1).astype(jnp.float32)
+    pad = n_pad - n
+    if pad:
+        px = jnp.concatenate([px, jnp.zeros((pad,), jnp.float32)])
+        py = jnp.concatenate([py, jnp.zeros((pad,), jnp.float32)])
+    px = px.reshape(rows, LANES)
+    py = py.reshape(rows, LANES)
+
+    geo, geo_mat, mats = _pack_scene(scene)
+    cam_vec = jnp.concatenate(
+        [cam.position, cam.view, cam.right, cam.up, cam.pixel_length]
+    )
+    scal = jnp.stack(
+        [jnp.asarray(seed, jnp.int32), jnp.asarray(iter_base, jnp.int32)]
+    )
+
+    kernel = _make_kernel(
+        num_cubes=scene.cubes.count,
+        num_spheres=scene.spheres.count,
+        num_materials=scene.materials.color.shape[0],
+        trace_depth=config.trace_depth,
+        num_samples=num_samples,
+        rr_start_depth=config.rr_start_depth,
+        legacy=config.gather_mode == "throughput",
+        sky_strength=config.sky_strength,
+        antialias=config.antialias,
+        width=w,
+        height=h,
+    )
+
+    grid = n_pad // TILE
+    block = pl.BlockSpec(
+        (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_r, out_g, out_b = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # geo
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # geo material ids
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # materials
+            block,  # px
+            block,  # py
+        ],
+        out_specs=(block, block, block),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )(scal, cam_vec, geo, geo_mat, mats, px, py)
+
+    rad = jnp.stack(
+        [out_r.reshape(-1)[:n], out_g.reshape(-1)[:n], out_b.reshape(-1)[:n]],
+        axis=-1,
+    )
+    return rad

@@ -49,9 +49,10 @@ class RenderConfig:
     # finalGather-of-throughputs.
     gather_mode: str = "light_only"
     sky_strength: float = 0.0  # environment strength in light_only mode
-    # Pipeline: 'fast' = SoA unrolled hot path (ops.fast), 'reference' =
-    # readable [N,3] path (ops.intersect/shade), 'auto' picks fast when the
-    # scene qualifies (analytic primitives only, small count).
+    # Pipeline: 'pallas' = single-dispatch TPU megakernel (ops.pallas),
+    # 'fast' = SoA unrolled XLA hot path (ops.fast), 'reference' = readable
+    # [N,3] path (ops.intersect/shade). 'auto' picks the fastest the scene
+    # and backend support.
     pipeline: str = "auto"
 
     def resolve_pipeline(self, scene: Scene) -> str:
@@ -60,7 +61,11 @@ class RenderConfig:
         from ..ops import fast as fast_mod
 
         if self.intersector in ("auto", "bruteforce") and fast_mod.supports(scene):
-            return "fast"
+            try:
+                on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+            except Exception:
+                on_tpu = False
+            return "pallas" if on_tpu else "fast"
         return "reference"
 
     def resolve_intersector(self, scene: Scene) -> str:
@@ -166,6 +171,38 @@ def render_chunk(
     )
 
 
+# Samples per megakernel dispatch (the in-kernel sample loop amortizes
+# raygen/output traffic; ~50 is ~10% faster than 10 and compiles in ~30 s).
+PALLAS_CHUNK = 50
+
+
+def make_pallas_step(interpret: bool = False):
+    """Step function driving the single-dispatch TPU megakernel."""
+    from ..ops.pallas import megakernel
+
+    def step(scene, state: RenderState, config: RenderConfig, num_samples: int):
+        accum = state.accum
+        # a stable int32 seed derived from the threefry key
+        seed = (state.key.reshape(-1)[-1].astype(jnp.uint32)).astype(jnp.int32)
+        done = 0
+        while done < num_samples:
+            k = min(PALLAS_CHUNK, num_samples - done)
+            accum = accum + megakernel.render_samples(
+                scene,
+                config,
+                seed,
+                state.iteration + jnp.int32(1 + done),
+                k,
+                interpret=interpret,
+            )
+            done += k
+        return state.replace(
+            accum=accum, iteration=state.iteration + jnp.int32(num_samples)
+        )
+
+    return step
+
+
 class Renderer:
     """Host-side driver: owns the device scene, render state, and metrics.
 
@@ -206,34 +243,52 @@ class Renderer:
         self.config = config
         self.state = RenderState.create(self.scene.camera.pixel_count, seed)
         self.metrics = MetricsTracker(self.scene.camera.pixel_count)
-        # the fast SoA pipeline carries its own fused intersector
-        if config.resolve_pipeline(self.scene) == "fast":
+        pipeline = config.resolve_pipeline(self.scene)
+        # the fast/pallas pipelines carry their own fused intersector
+        if pipeline in ("fast", "pallas"):
             self._intersector = None
         else:
             self._intersector = make_intersector(self.scene, config)
-        # A distinct closure per Renderer: sharing a HashablePartial across
-        # jit wrappers aliases their executable caches in jax 0.9 (observed
-        # as "supplied N buffers but compiled program expected M").
-        isect = self._intersector
 
-        def _chunk(scene, state, config, num_samples):
-            return render_chunk(scene, state, config, num_samples, isect)
+        if pipeline == "pallas":
+            self._step = make_pallas_step()
+        else:
+            # A distinct closure per Renderer: sharing a HashablePartial
+            # across jit wrappers aliases their executable caches in jax 0.9
+            # (observed as "supplied N buffers but compiled program expected
+            # M").
+            isect = self._intersector
 
-        self._step = jax.jit(_chunk, static_argnames=("config", "num_samples"))
+            def _chunk(scene, state, config, num_samples):
+                return render_chunk(scene, state, config, num_samples, isect)
+
+            self._step = jax.jit(
+                _chunk, static_argnames=("config", "num_samples")
+            )
 
     @property
     def iteration(self) -> int:
         return int(self.state.iteration)
 
-    def step(self, num_samples: Optional[int] = None) -> int:
-        """Run a batch of samples; returns the new iteration count."""
+    def step(self, num_samples: Optional[int] = None, sync: bool = True) -> int:
+        """Run a batch of samples; returns the new iteration count.
+
+        With sync=False the work is left queued on the device (used by
+        render() to avoid a host round-trip per batch)."""
         if num_samples is None:
             num_samples = self.config.samples_per_launch
         t0 = time.perf_counter()
         self.state = self._step(self.scene, self.state, self.config, num_samples)
-        self.state.accum.block_until_ready()
+        if sync:
+            self.sync()
         self.metrics.record(num_samples, time.perf_counter() - t0)
         return self.iteration
+
+    def sync(self) -> None:
+        """True device sync: fetch a value data-dependent on the accumulator.
+        On the tunneled axon backend, block_until_ready can return before
+        queued kernels finish; a scalar fetch cannot."""
+        np.asarray(self.state.accum[0, 0])
 
     def render(self, iterations: Optional[int] = None, progress: bool = False):
         """Render to `iterations` total samples (scene-file ITERATIONS by
@@ -241,7 +296,8 @@ class Renderer:
         target = iterations if iterations is not None else self.target_iterations
         while self.iteration < target:
             n = min(self.config.samples_per_launch, target - self.iteration)
-            self.step(n)
+            last = self.iteration + n >= target
+            self.step(n, sync=last or progress)
             if progress:
                 m = self.metrics
                 print(
