@@ -44,9 +44,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),  # maxs [n,3]
             ctypes.c_int,  # n
             ctypes.c_int,  # leaf_size
-            ctypes.POINTER(ctypes.c_float),  # out node bounds [2n? ,6]
-            ctypes.POINTER(ctypes.c_int),  # out left/right/start/count [.,4]
+            ctypes.POINTER(ctypes.c_float),  # out node bounds [2n, 6]
+            ctypes.POINTER(ctypes.c_int),  # out left/subtree_end/start/count
             ctypes.POINTER(ctypes.c_int),  # out prim order [n]
+        ]
+        lib.pt_count_obj.restype = ctypes.c_int
+        lib.pt_count_obj.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.pt_load_obj.restype = ctypes.c_int
+        lib.pt_load_obj.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
         ]
         _LIB = lib
     except OSError:
@@ -111,3 +123,42 @@ def build_bvh(mins: np.ndarray, maxs: np.ndarray, leaf_size: int = 1):
         node_meta[:count, 3].copy(),
         order,
     )
+
+
+def load_obj_triangles(path: str) -> Optional[np.ndarray]:
+    """Native OBJ triangle-soup load; returns (T, 3, 3) float32 or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    nv = ctypes.c_int64(0)
+    nt = ctypes.c_int64(0)
+    if lib.pt_count_obj(path.encode(), ctypes.byref(nv), ctypes.byref(nt)) != 0:
+        return None
+    tris = np.zeros((max(int(nt.value), 1), 3, 3), np.float32)
+    got = lib.pt_load_obj(
+        path.encode(), tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(nt.value),
+    )
+    if got < 0:
+        return None
+    return tris[:got]
+
+
+def ensure_built(verbose: bool = False) -> bool:
+    """Compile libptruntime.so with the system toolchain if missing."""
+    global _TRIED
+    if available():
+        return True
+    import subprocess
+
+    script = os.path.join(os.path.dirname(__file__), "build.sh")
+    try:
+        subprocess.run(
+            ["sh", script],
+            check=True,
+            capture_output=not verbose,
+        )
+    except Exception:
+        return False
+    _TRIED = False  # force a reload attempt
+    return available()

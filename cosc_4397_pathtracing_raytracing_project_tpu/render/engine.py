@@ -336,6 +336,31 @@ class Renderer:
         write_png(path, img)
         return path
 
+    # ── checkpoint / resume (no reference counterpart; the accumulator +
+    # iteration + key is the complete render state) ──
+
+    def save_checkpoint(self, path: str) -> str:
+        from .checkpoint import save_checkpoint
+
+        meta = {
+            "image_name": self.image_name,
+            "resolution": list(self.scene.camera.resolution),
+            "target_iterations": self.target_iterations,
+        }
+        return save_checkpoint(path, self.state, meta)
+
+    def load_checkpoint(self, path: str) -> "Renderer":
+        from .checkpoint import load_checkpoint
+
+        state, meta = load_checkpoint(path)
+        if state.accum.shape != self.state.accum.shape:
+            raise ValueError(
+                f"checkpoint resolution {state.accum.shape} does not match "
+                f"renderer {self.state.accum.shape}"
+            )
+        self.state = state
+        return self
+
     # ── camera interaction (accumulation reset, `main.cpp:110-136`) ──
 
     def set_camera(self, camera) -> None:

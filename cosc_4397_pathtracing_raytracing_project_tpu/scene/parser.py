@@ -265,10 +265,20 @@ def load_scene(path: str) -> Scene:
 
 
 def load_obj_triangles(path: str) -> np.ndarray:
-    """Minimal Wavefront OBJ loader: `v` and `f` records, fan-triangulated.
+    """Wavefront OBJ loader: `v` and `f` records, fan-triangulated.
+    Uses the native C++ loader when built (large meshes), else pure Python.
 
     Returns an (T, 3, 3) float32 array of object-space triangles.
     """
+    try:
+        from ..native import runtime as native_runtime
+
+        if native_runtime.available():
+            tris = native_runtime.load_obj_triangles(path)
+            if tris is not None:
+                return tris
+    except Exception:
+        pass
     verts: List[List[float]] = []
     tris: List[List[int]] = []
     with open(path, "r") as f:

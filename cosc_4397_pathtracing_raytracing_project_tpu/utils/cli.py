@@ -1,0 +1,119 @@
+"""Command-line entry point.
+
+The reference takes exactly one argument — the scene file (`main.cpp:37-42`)
+— runs to the scene's ITERATIONS count while printing the metrics block each
+iteration (`pathtrace.cu:632-646`), and saves
+``<FILE>.<timestamp>.<N>samp.png`` at the end. ``run`` reproduces that as the
+default headless mode; ``--serve`` opens the interactive preview instead
+(the GLFW window analog), and the extra flags expose what the reference
+hard-codes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cosc_4397_pathtracing_raytracing_project_tpu",
+        description="TPU-native Monte Carlo path tracer",
+    )
+    p.add_argument("scene", help="scene file (scenes/*.txt format)")
+    p.add_argument("--iterations", type=int, default=None,
+                   help="override the scene's ITERATIONS")
+    p.add_argument("--model", default="auto",
+                   help="renderer model: auto|naive|shared|bvh|megakernel|wavefront")
+    p.add_argument("--estimator", default="light_only",
+                   choices=["light_only", "throughput"],
+                   help="light_only = physically correct; throughput = "
+                        "reference-code finalGather parity")
+    p.add_argument("--sky", type=float, default=0.0,
+                   help="environment sky strength (light_only mode)")
+    p.add_argument("--antialias", action="store_true",
+                   help="sub-pixel jitter (the reference has none)")
+    p.add_argument("--depth", type=int, default=None, help="override DEPTH")
+    p.add_argument("--chunk", type=int, default=25,
+                   help="samples per device launch")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", default=None, help="output PNG path")
+    p.add_argument("--hdr", action="store_true", help="also save Radiance .hdr")
+    p.add_argument("--checkpoint", default=None,
+                   help="write a checkpoint here at the end")
+    p.add_argument("--resume", default=None, help="resume from a checkpoint")
+    p.add_argument("--serve", action="store_true",
+                   help="interactive web preview instead of headless render")
+    p.add_argument("--port", type=int, default=8634)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--metrics-every", type=int, default=0,
+                   help="print the metrics block every N iterations "
+                        "(reference prints every iteration; 0 = end only)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..render.engine import RenderConfig, Renderer
+    from ..models.registry import make_renderer
+    from ..scene.parser import load_scene_desc
+
+    desc = load_scene_desc(args.scene)
+    config = RenderConfig(
+        trace_depth=args.depth if args.depth is not None else desc.trace_depth,
+        antialias=args.antialias,
+        gather_mode=args.estimator,
+        sky_strength=args.sky,
+        samples_per_launch=args.chunk,
+    )
+    if args.model == "auto":
+        renderer = Renderer(desc, config, seed=args.seed)
+    else:
+        renderer = make_renderer(args.model, desc, config, seed=args.seed)
+
+    if args.resume:
+        renderer.load_checkpoint(args.resume)
+        if not args.quiet:
+            print(f"resumed at iteration {renderer.iteration}")
+
+    if args.serve:
+        from ..viewer.server import PreviewServer
+
+        PreviewServer(renderer, lookat=desc.camera.lookat, port=args.port).start()
+        return 0
+
+    target = args.iterations if args.iterations is not None else desc.iterations
+    every = args.metrics_every
+    while renderer.iteration < target:
+        n = min(args.chunk, target - renderer.iteration)
+        renderer.step(n, sync=bool(every))
+        if every and (renderer.iteration % every == 0 or renderer.iteration >= target):
+            renderer.metrics.update_psnr(renderer.state.accum, renderer.iteration)
+            if not args.quiet:
+                print(f"-- iteration {renderer.iteration}/{target} --")
+                print(renderer.metrics.summary())
+    renderer.sync()
+    renderer.metrics.update_psnr(renderer.state.accum, renderer.iteration)
+
+    if not args.quiet:
+        print(renderer.metrics.summary())
+    out = renderer.save_png(args.output)
+    if not args.quiet:
+        print(f"Saved {out}.")
+    if args.hdr:
+        from ..io.png import write_hdr
+
+        hdr_path = out[:-4] if out.endswith(".png") else out
+        write_hdr(hdr_path, renderer.linear_image()[:, ::-1, :])
+        if not args.quiet:
+            print(f"Saved {hdr_path}.hdr.")
+    if args.checkpoint:
+        renderer.save_checkpoint(args.checkpoint)
+        if not args.quiet:
+            print(f"Checkpoint at {args.checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,181 @@
+"""Interactive preview: a zero-dependency web viewer.
+
+There is no CUDA↔GL PBO interop on a TPU (`src/preview.cpp:118-134` has no
+analog), so the display path is host-side: the renderer accumulates on
+device continuously in a background thread, and the browser polls tonemapped
+frames (the `sendImageToPBO` gamma path, `pathtrace.cu:250-268`) at a
+throttled cadence — keeping display entirely off the timed render path.
+
+Controls mirror the reference window (`src/main.cpp:158-218`): left-drag
+orbit, right-drag zoom, middle-drag (or shift-drag) pan, Space recenter,
+S save PNG, Esc save + stop. An overlay shows the metrics block the
+reference printed per iteration ("Path Tracer Analytics", `preview.cpp:192`).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..io.png import encode_png
+from ..render.engine import Renderer
+from .controls import OrbitCameraController
+
+_PAGE = """<!doctype html>
+<html><head><title>TPU Path Tracer</title><style>
+body { background:#111; color:#ddd; font-family:monospace; margin:0 }
+#wrap { display:flex } canvas { cursor:grab }
+#hud { padding:12px; white-space:pre; font-size:12px }
+</style></head><body>
+<div id="wrap"><canvas id="c"></canvas><div id="hud">loading…</div></div>
+<script>
+const c = document.getElementById('c'), hud = document.getElementById('hud');
+const ctx = c.getContext('2d');
+let drag = null;
+c.oncontextmenu = e => e.preventDefault();
+c.onmousedown = e => { drag = {x: e.clientX, y: e.clientY, b: e.button, shift: e.shiftKey}; };
+window.onmouseup = () => drag = null;
+window.onmousemove = e => {
+  if (!drag) return;
+  const dx = e.clientX - drag.x, dy = e.clientY - drag.y;
+  drag.x = e.clientX; drag.y = e.clientY;
+  const kind = (drag.b === 1 || drag.shift) ? 'pan' : drag.b === 2 ? 'zoom' : 'orbit';
+  fetch('/control', {method:'POST', body: JSON.stringify({type: kind, dx, dy})});
+};
+window.onkeydown = e => {
+  if (['s','S',' ','Escape'].includes(e.key))
+    fetch('/control', {method:'POST', body: JSON.stringify({type:'key', key:e.key})});
+};
+async function tick() {
+  const img = new Image();
+  img.onload = () => { c.width = img.width; c.height = img.height; ctx.drawImage(img, 0, 0); };
+  img.src = '/frame.png?t=' + Date.now();
+  const s = await (await fetch('/stats')).json();
+  hud.textContent = s.text;
+  setTimeout(tick, 250);
+}
+tick();
+</script></body></html>"""
+
+
+class PreviewServer:
+    """Drives a Renderer in a background thread and serves frames + controls."""
+
+    def __init__(self, renderer: Renderer, lookat=None, host="0.0.0.0", port=8634):
+        self.renderer = renderer
+        self.controls = OrbitCameraController.from_camera(
+            renderer.scene.camera,
+            lookat=lookat
+            if lookat is not None
+            else (renderer.desc.camera.lookat if renderer.desc else None),
+        )
+        self.host = host
+        self.port = port
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._render_thread = None
+        self._httpd = None
+
+    # ── render loop (the mainLoop/runCuda analog) ──
+
+    def _render_loop(self):
+        while not self._stop.is_set():
+            with self._lock:
+                if self.controls.changed:
+                    # camera change → rebuild basis, reset accumulation
+                    self.renderer.set_camera(self.controls.camera())
+                target = self.renderer.target_iterations or 0
+            if target and self.renderer.iteration >= target:
+                self._stop.wait(0.1)
+                continue
+            self.renderer.step(self.renderer.config.samples_per_launch)
+
+    def frame_png(self) -> bytes:
+        img = self.renderer.display_image()[:, ::-1, :]
+        return encode_png(img, compress_level=1)
+
+    def stats_text(self) -> str:
+        m = self.renderer.metrics
+        return (
+            f"Path Tracer Analytics\n"
+            f"iteration: {self.renderer.iteration}\n"
+            + m.summary()
+        )
+
+    def handle_control(self, msg: dict) -> None:
+        with self._lock:
+            kind = msg.get("type")
+            if kind == "orbit":
+                self.controls.orbit(msg.get("dx", 0), msg.get("dy", 0))
+            elif kind == "zoom":
+                self.controls.zoom_by(msg.get("dy", 0))
+            elif kind == "pan":
+                self.controls.pan(msg.get("dx", 0), msg.get("dy", 0))
+            elif kind == "key":
+                key = msg.get("key")
+                if key in ("s", "S"):
+                    self.renderer.save_png()
+                elif key == " ":
+                    self.controls.recenter()
+                elif key == "Escape":
+                    self.renderer.save_png()
+                    self._stop.set()
+
+    # ── HTTP plumbing ──
+
+    def _make_handler(server):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def _send(self, code, ctype, body):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.startswith("/frame.png"):
+                    self._send(200, "image/png", server.frame_png())
+                elif self.path.startswith("/stats"):
+                    body = json.dumps({"text": server.stats_text()}).encode()
+                    self._send(200, "application/json", body)
+                else:
+                    self._send(200, "text/html", _PAGE.encode())
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                msg = json.loads(self.rfile.read(length) or b"{}")
+                server.handle_control(msg)
+                self._send(200, "application/json", b"{}")
+
+        return Handler
+
+    def start(self, block: bool = True):
+        self._render_thread = threading.Thread(target=self._render_loop, daemon=True)
+        self._render_thread.start()
+        self._httpd = ThreadingHTTPServer(
+            (self.host, self.port), self._make_handler()
+        )
+        print(f"preview at http://{self.host}:{self.port}/")
+        if block:
+            try:
+                while not self._stop.is_set():
+                    self._httpd.handle_request()
+            except KeyboardInterrupt:
+                pass
+            self.stop()
+        else:
+            threading.Thread(
+                target=self._httpd.serve_forever, daemon=True
+            ).start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._httpd:
+            self._httpd.server_close()
+        if self._render_thread:
+            self._render_thread.join(timeout=5)

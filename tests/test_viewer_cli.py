@@ -1,0 +1,160 @@
+"""Orbit controls parity, checkpoint round-trip, CLI, and preview server."""
+
+import json
+import os
+import sys
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from cosc_4397_pathtracing_raytracing_project_tpu import RenderConfig, Renderer
+from cosc_4397_pathtracing_raytracing_project_tpu.scene import (
+    Scene,
+    parse_scene,
+)
+from cosc_4397_pathtracing_raytracing_project_tpu.viewer.controls import (
+    OrbitCameraController,
+)
+
+from test_render import CORNELL_SMALL
+
+
+@pytest.fixture
+def small_desc():
+    return parse_scene(CORNELL_SMALL)
+
+
+def test_orbit_controller_roundtrip(small_desc):
+    scene = Scene.from_desc(small_desc)
+    ctl = OrbitCameraController.from_camera(
+        scene.camera, lookat=small_desc.camera.lookat
+    )
+    # initial reconstruction matches the scene camera (reference first frame)
+    cam = ctl.camera()
+    np.testing.assert_allclose(
+        np.asarray(cam.position), np.asarray(scene.camera.position), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cam.view), np.asarray(scene.camera.view), atol=1e-4
+    )
+
+
+def test_orbit_math_matches_reference(small_desc):
+    scene = Scene.from_desc(small_desc)
+    ctl = OrbitCameraController.from_camera(
+        scene.camera, lookat=small_desc.camera.lookat
+    )
+    w, h = ctl.width, ctl.height
+    phi0, theta0, zoom0 = ctl.phi, ctl.theta, ctl.zoom
+    ctl.orbit(32, -16)  # main.cpp:192-193: phi -= dx/width, theta -= dy/height
+    assert ctl.phi == pytest.approx(phi0 - 32 / w)
+    assert ctl.theta == pytest.approx(theta0 + 16 / h)
+    ctl.zoom_by(-h)  # main.cpp:198-199 with clamp at 0.1
+    assert ctl.zoom == pytest.approx(max(0.1, zoom0 - 1.0))
+    ctl.zoom_by(10 * h)
+    # theta clamp
+    ctl.orbit(0, -10 * h)
+    assert ctl.theta == pytest.approx(np.pi)
+    ctl.orbit(0, 10 * h)
+    assert ctl.theta == pytest.approx(0.001)
+    # pan then recenter restores the original lookAt
+    look0 = ctl.lookat.copy()
+    ctl.pan(50, -30)
+    assert not np.allclose(ctl.lookat, look0)
+    ctl.recenter()
+    np.testing.assert_allclose(ctl.lookat, ctl.og_lookat)
+
+
+def test_camera_change_resets_and_resumes(small_desc):
+    r = Renderer(small_desc, RenderConfig(samples_per_launch=2))
+    r.step(2)
+    ctl = OrbitCameraController.from_camera(
+        r.scene.camera, lookat=small_desc.camera.lookat
+    )
+    ctl.orbit(100, 0)
+    r.set_camera(ctl.camera())
+    assert r.iteration == 0
+    r.step(2)
+    assert np.isfinite(np.asarray(r.state.accum)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, small_desc):
+    a = Renderer(small_desc, RenderConfig(samples_per_launch=4), seed=11)
+    a.step(4)
+    path = a.save_checkpoint(str(tmp_path / "ckpt"))
+    # resume into a fresh renderer and continue
+    b = Renderer(small_desc, RenderConfig(samples_per_launch=4), seed=11)
+    b.load_checkpoint(path)
+    assert b.iteration == 4
+    a.step(4)
+    b.step(4)
+    np.testing.assert_array_equal(np.asarray(a.state.accum), np.asarray(b.state.accum))
+
+
+def test_cli_headless(tmp_path, monkeypatch):
+    from cosc_4397_pathtracing_raytracing_project_tpu.utils.cli import main
+
+    scene_path = tmp_path / "scene.txt"
+    scene_path.write_text(CORNELL_SMALL)
+    out = tmp_path / "out.png"
+    ckpt = tmp_path / "ck.npz"
+    rc = main(
+        [
+            str(scene_path),
+            "--iterations", "4",
+            "--chunk", "2",
+            "--output", str(out),
+            "--checkpoint", str(ckpt),
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+    assert out.exists() and ckpt.exists()
+    from cosc_4397_pathtracing_raytracing_project_tpu.io.png import read_png
+
+    img = read_png(str(out))
+    assert img.shape == (64, 64, 3)
+    # resume path
+    rc = main(
+        [
+            str(scene_path),
+            "--iterations", "6",
+            "--chunk", "2",
+            "--resume", str(ckpt),
+            "--output", str(tmp_path / "out2.png"),
+            "--quiet",
+        ]
+    )
+    assert rc == 0
+
+
+def test_preview_server(small_desc):
+    from cosc_4397_pathtracing_raytracing_project_tpu.viewer.server import (
+        PreviewServer,
+    )
+
+    r = Renderer(small_desc, RenderConfig(samples_per_launch=2))
+    srv = PreviewServer(r, lookat=small_desc.camera.lookat, host="127.0.0.1", port=0)
+    srv.start(block=False)
+    try:
+        port = srv._httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        html = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"TPU Path Tracer" in html
+        frame = urllib.request.urlopen(base + "/frame.png", timeout=30).read()
+        assert frame[:4] == b"\x89PNG"
+        stats = json.loads(
+            urllib.request.urlopen(base + "/stats", timeout=10).read()
+        )
+        assert "Path Tracer Analytics" in stats["text"]
+        # orbit control resets accumulation
+        req = urllib.request.Request(
+            base + "/control",
+            data=json.dumps({"type": "orbit", "dx": 60, "dy": 0}).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=10).read()
+    finally:
+        srv.stop()
