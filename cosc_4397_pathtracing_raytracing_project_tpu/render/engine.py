@@ -103,7 +103,9 @@ def trace_sample(
     ``image[pixel] += color``, `pathtrace.cu:439-444`, happens in the
     caller's accumulate). `pixel_offset`/`num_pixels` select a contiguous
     tile of the flat pixel array (used by the sharded multi-chip path)."""
-    if intersector is None and config.resolve_pipeline(scene) == "fast":
+    # 'pallas' is chunk-level (see make_pallas_step); at per-sample
+    # granularity its XLA twin is the SoA fast path.
+    if intersector is None and config.resolve_pipeline(scene) in ("fast", "pallas"):
         from ..ops import fast as fast_mod
 
         return fast_mod.trace_sample_fast(
