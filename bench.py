@@ -53,6 +53,26 @@ def main():
     # Convergence sanity: self-referential PSNR harness (reference parity).
     psnr = renderer.metrics.update_psnr(renderer.state.accum, renderer.iteration)
 
+    # Golden-image PSNR (the north-star quality gate): render the upstream
+    # starter configuration and compare against its 5000-sample reference.
+    psnr_golden = None
+    golden_png = os.path.join(REPO, "tests", "data", "REFERENCE_cornell.5000samp.png")
+    golden_scene = os.path.join(REPO, "scenes", "cornell_golden.txt")
+    if os.path.exists(golden_png) and os.path.exists(golden_scene):
+        import numpy as np
+
+        from cosc_4397_pathtracing_raytracing_project_tpu.io.png import read_png
+
+        ref_img = read_png(golden_png).astype("float32") / 255.0
+        rg = Renderer(
+            golden_scene,
+            RenderConfig(samples_per_launch=chunk, antialias=True),
+        )
+        rg.render(min(iters, 1000))
+        mine = np.clip(rg.linear_image(), 0, 1)[:, ::-1, :]
+        mse = float(((mine - ref_img) ** 2).mean())
+        psnr_golden = round(10.0 * __import__("math").log10(1.0 / mse), 2)
+
     result = {
         "metric": "primary_samples_per_sec_cornell_800x800_depth8",
         "value": round(rays_per_sec, 0),
@@ -65,6 +85,7 @@ def main():
             "pixels": pixels,
             "chunk": chunk,
             "device": str(__import__("jax").devices()[0]),
+            "psnr_vs_golden_db_1000spp": psnr_golden,
         },
     }
     print(json.dumps(result))

@@ -32,11 +32,11 @@ import jax.numpy as jnp
 from ..scene.structs import Scene
 
 MAX_UNROLL = 64
-_MISS = jnp.float32(1e30)
-_FMAX = jnp.float32(3.402823466e38)
-_PI = jnp.float32(3.14159265358979323846)
-_BACKOFF = jnp.float32(1e-4)
-_ORIGIN_OFFSET = jnp.float32(1e-3)
+_MISS = 1e30
+_FMAX = 3.402823466e38
+_PI = 3.14159265358979323846
+_BACKOFF = 1e-4
+_ORIGIN_OFFSET = 1e-3
 
 
 def supports(scene: Scene) -> bool:

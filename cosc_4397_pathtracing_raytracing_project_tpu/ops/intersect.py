@@ -28,8 +28,8 @@ from ..scene.structs import GeomBatch, Scene, TriangleBatch
 from . import linalg
 
 _BACKOFF = 1e-4  # getPointOnRay epsilon (`intersections.h:28`)
-_FMAX = jnp.float32(3.402823466e38)  # FLT_MAX, as in the reference slab test
-_MISS = jnp.float32(1e30)  # internal sentinel for "no hit" distances
+_FMAX = 3.402823466e38  # FLT_MAX, as in the reference slab test
+_MISS = 1e30  # internal sentinel for "no hit" distances
 
 
 class Hit(struct.PyTreeNode):

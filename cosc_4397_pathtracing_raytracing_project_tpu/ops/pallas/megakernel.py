@@ -34,7 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...scene.structs import Scene
 
-TILE_ROWS = 128
+# Tile-size sweep (fresh-process, Cornell 800×800): 8→308, 16→342, 32→341,
+# 64→303, 128→257, 512→199 M rays/s. Small tiles pipeline VMEM better.
+TILE_ROWS = 16
 LANES = 128
 TILE = TILE_ROWS * LANES
 
@@ -65,6 +67,32 @@ def _u01(shape):
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)  # < 2^24, positive
     return top24.astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
+class _HashPrng:
+    """Pure-jnp counter-hash PRNG used in interpret mode (pltpu.prng_* has no
+    CPU lowering). Same replayability contract: uniforms are a function of
+    (seed, draw counter, lane)."""
+
+    def __init__(self, shape):
+        self.seed = jnp.uint32(0)
+        self.counter = 0
+        rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        self.lane = rows * jnp.uint32(shape[1]) + cols
+
+    def reseed(self, seed):
+        self.seed = jnp.asarray(seed).astype(jnp.uint32)
+        self.counter = 0
+
+    def u01(self, shape):
+        self.counter += 1
+        x = self.lane ^ (self.seed * jnp.uint32(0x9E3779B9))
+        x = x + jnp.uint32(self.counter) * jnp.uint32(0x85EBCA6B)
+        x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+        x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> jnp.uint32(16))
+        return (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
 
 
 def _mix(*xs):
@@ -124,6 +152,7 @@ def _make_kernel(
     antialias: bool,
     width: int,
     height: int,
+    hw_prng: bool = True,
 ):
     k_total = num_cubes + num_spheres
 
@@ -143,6 +172,16 @@ def _make_kernel(
         px = px_ref[:]
         py = py_ref[:]
         shape = px.shape
+        soft_prng = None if hw_prng else _HashPrng(shape)
+
+        def seed_prng(value):
+            if hw_prng:
+                pltpu.prng_seed(value)
+            else:
+                soft_prng.reseed(value)
+
+        def draw_u01():
+            return _u01(shape) if hw_prng else soft_prng.u01(shape)
 
         # Hoist every scalar table read to kernel entry: SMEM loads inside the
         # sample/bounce loops would re-issue on the scalar unit each iteration
@@ -164,9 +203,9 @@ def _make_kernel(
 
             # ── raygen (generateRayFromCamera, `pathtrace.cu:270-286`) ──
             if antialias:
-                pltpu.prng_seed(_mix(seed, iteration, jnp.int32(0xAA), tile))
-                jx = _u01(shape)
-                jy = _u01(shape)
+                seed_prng(_mix(seed, iteration, jnp.int32(0xAA), tile))
+                jx = draw_u01()
+                jy = draw_u01()
                 fx = px + jx
                 fy = py + jy
             else:
@@ -196,12 +235,12 @@ def _make_kernel(
                 if ABLATION == "noprng":
                     u_rr = u_branch = u_a = u_b = u_c = px * 0.001
                 else:
-                    pltpu.prng_seed(_mix(seed, iteration, depth, tile))
-                    u_rr = _u01(shape)
-                    u_branch = _u01(shape)
-                    u_a = _u01(shape)
-                    u_b = _u01(shape)
-                    u_c = _u01(shape)
+                    seed_prng(_mix(seed, iteration, depth, tile))
+                    u_rr = draw_u01()
+                    u_branch = draw_u01()
+                    u_a = draw_u01()
+                    u_b = draw_u01()
+                    u_c = draw_u01()
 
                 # ── nearest hit, unrolled over primitives ──
                 best_t = jnp.full(shape, _MISS)
@@ -211,6 +250,12 @@ def _make_kernel(
                 best_mat = jnp.zeros(shape, jnp.int32)
                 best_k = jnp.zeros(shape, jnp.int32)
 
+                # The object-space direction q_d = M⁻¹·d is left unnormalized,
+                # which makes the slab/quadratic parameter s *directly* the
+                # world-space distance (M·q_d = d with |d| = 1), comparable
+                # across primitives with no per-geom normalization. The
+                # reference's 1e-4 object-space backoff becomes a constant
+                # world-space backoff (equivalent in purpose, cheaper).
                 for k in range(0 if ABLATION == "nointersect" else k_total):
                     iv, it = geo_rows[k]
                     qox = iv[0] * ox + iv[1] * oy + iv[2] * oz + iv[3]
@@ -219,8 +264,6 @@ def _make_kernel(
                     qdx = iv[0] * dx + iv[1] * dy + iv[2] * dz
                     qdy = iv[4] * dx + iv[5] * dy + iv[6] * dz
                     qdz = iv[8] * dx + iv[9] * dy + iv[10] * dz
-                    nq2 = qdx * qdx + qdy * qdy + qdz * qdz
-                    rinv = jax.lax.rsqrt(nq2)
 
                     if k < num_cubes:
                         ix = _recip(qdx)
@@ -263,8 +306,9 @@ def _make_kernel(
                         nox = jnp.where(use_x, sgx, 0.0)
                         noy = jnp.where(use_y, sgy, 0.0)
                         noz = jnp.where(use_x | use_y, 0.0, sgz)
-                        t_world = sparam - _BACKOFF * rinv
+                        t_world = sparam - _BACKOFF
                     else:
+                        nq2 = qdx * qdx + qdy * qdy + qdz * qdz
                         b = qox * qdx + qoy * qdy + qoz * qdz
                         c = qox * qox + qoy * qoy + qoz * qoz - 0.25
                         disc = b * b - nq2 * c
@@ -278,7 +322,7 @@ def _make_kernel(
                             both_pos, jnp.minimum(s1, s2), jnp.maximum(s1, s2)
                         )
                         hit = (disc >= 0) & ~both_neg
-                        t_world = sparam - _BACKOFF * rinv
+                        t_world = sparam - _BACKOFF
                         flip = jnp.where(both_pos, 1.0, -1.0)
                         nox = (qox + t_world * qdx) * flip
                         noy = (qoy + t_world * qdy) * flip
@@ -548,6 +592,7 @@ def render_samples(
         antialias=config.antialias,
         width=w,
         height=h,
+        hw_prng=not interpret,  # pltpu.prng_* has no CPU interpret lowering
     )
 
     grid = n_pad // TILE

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from . import linalg
 
-_PI = jnp.float32(3.14159265358979323846)
+_PI = 3.14159265358979323846
 
 
 def local_coordinate_system(normal: jnp.ndarray):

@@ -57,29 +57,34 @@ def init_paths(origins, directions, trace_depth: int) -> PathState:
     )
 
 
-def _gather_materials(materials: Materials, material_id: jnp.ndarray):
-    """Per-lane material fetch: pack the table to [M, 9] and one-hot-matmul.
+def _gather_materials(
+    materials: Materials, material_id: jnp.ndarray, with_ior: bool = False
+):
+    """Per-lane material fetch: pack the table to [M, 9|10] and one-hot-matmul.
 
     Layout: color(3) | specular_color(3) | reflectivity | refractive |
-    emittance."""
-    packed = jnp.concatenate(
-        [
-            materials.color,
-            materials.specular_color,
-            materials.reflectivity[:, None],
-            materials.refractive[:, None],
-            materials.emittance[:, None],
-        ],
-        axis=1,
-    )
+    emittance | [ior]."""
+    cols = [
+        materials.color,
+        materials.specular_color,
+        materials.reflectivity[:, None],
+        materials.refractive[:, None],
+        materials.emittance[:, None],
+    ]
+    if with_ior:
+        cols.append(materials.ior[:, None])
+    packed = jnp.concatenate(cols, axis=1)
     rows = take_rows(packed, material_id)
-    return {
+    out = {
         "color": rows[:, 0:3],
         "specular_color": rows[:, 3:6],
         "reflectivity": rows[:, 6],
         "refractive": rows[:, 7],
         "emittance": rows[:, 8],
     }
+    if with_ior:
+        out["ior"] = rows[:, 9]
+    return out
 
 
 def shade_step(
@@ -91,6 +96,7 @@ def shade_step(
     rr_start_depth: int = 3,
     gather_mode: str = "throughput",
     sky_strength: float = 1.0,
+    enable_refraction: bool = False,
 ):
     """One masked shade/extend pass. Returns ``(new_paths, radiance_contrib)``.
 
@@ -146,7 +152,7 @@ def shade_step(
     early_out = missed | ~alive
     act = ~early_out
 
-    mat = _gather_materials(materials, hit.material_id)
+    mat = _gather_materials(materials, hit.material_id, enable_refraction)
 
     # ── emissive termination (`pathtrace.cu:374-378`) ──
     emissive = mat["emittance"] > 0.0
@@ -179,9 +185,50 @@ def shade_step(
     diff_dir = sampling.cosine_weighted_hemisphere(u_a, u_b, hit.normal)
     new_dir = jnp.where(spec[:, None], spec_dir, diff_dir)
     tint = jnp.where(spec[:, None], mat["specular_color"], mat["color"])
+    new_origin = hit.point + hit.normal * _ORIGIN_OFFSET
+
+    if enable_refraction:
+        # Extension: dielectric transmission via Snell + Schlick Fresnel.
+        # The reference parses REFRIOR (`scene.cpp:179-180`) and defines
+        # schlickFresnel (`pathtrace.cu:244-248`) but never refracts; this
+        # is gated off by default to preserve parity. A material refracts
+        # when ior > 0 and hasRefractive > 0 (hasRefractive keeps its
+        # roughness meaning for ior == 0 materials).
+        is_glass = (mat["ior"] > 0.0) & (mat["refractive"] > 0.0)
+        n = hit.normal  # already faces the incoming ray
+        cos_i = jnp.clip(-linalg.dot(paths.direction, n), 0.0, 1.0)
+        n1 = jnp.where(hit.outside, 1.0, mat["ior"])
+        n2 = jnp.where(hit.outside, mat["ior"], 1.0)
+        eta = n1 / jnp.maximum(n2, 1e-6)
+        sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+        tir = sin2_t > 1.0
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+        fresnel = sampling.schlick_fresnel(cos_i, n1, n2)
+        refract_dir = linalg.normalize(
+            eta[:, None] * paths.direction
+            + (eta * cos_i - cos_t)[:, None] * n,
+            eps=1e-20,
+        )
+        reflect_dir = linalg.reflect(paths.direction, n)
+        transmit = is_glass & ~tir & (u_branch >= fresnel)
+        glass_dir = jnp.where(transmit[:, None], refract_dir, reflect_dir)
+        glass_origin = jnp.where(
+            transmit[:, None],
+            hit.point - n * _ORIGIN_OFFSET,  # step through the interface
+            hit.point + n * _ORIGIN_OFFSET,
+        )
+        glass_mask = act & is_glass
+        new_dir = jnp.where(glass_mask[:, None], glass_dir, new_dir)
+        new_origin = jnp.where(glass_mask[:, None], glass_origin, new_origin)
+        tint = jnp.where(
+            glass_mask[:, None],
+            jnp.where(
+                transmit[:, None], mat["color"], mat["specular_color"]
+            ),
+            tint,
+        )
 
     color = jnp.where(act[:, None], color * tint, color)
-    new_origin = hit.point + hit.normal * _ORIGIN_OFFSET
     origin = jnp.where(act[:, None], new_origin, paths.origin)
     direction = jnp.where(act[:, None], new_dir, paths.direction)
     bounces = jnp.where(act, paths.bounces - 1, jnp.zeros_like(paths.bounces))

@@ -49,6 +49,9 @@ class RenderConfig:
     # finalGather-of-throughputs.
     gather_mode: str = "light_only"
     sky_strength: float = 0.0  # environment strength in light_only mode
+    # Extension: dielectric refraction via REFRIOR (the reference parses it
+    # but never refracts). Forces the reference pipeline.
+    enable_refraction: bool = False
     # Pipeline: 'pallas' = single-dispatch TPU megakernel (ops.pallas),
     # 'fast' = SoA unrolled XLA hot path (ops.fast), 'reference' = readable
     # [N,3] path (ops.intersect/shade). 'auto' picks the fastest the scene
@@ -56,6 +59,8 @@ class RenderConfig:
     pipeline: str = "auto"
 
     def resolve_pipeline(self, scene: Scene) -> str:
+        if self.enable_refraction:
+            return "reference"
         if self.pipeline != "auto":
             return self.pipeline
         from ..ops import fast as fast_mod
@@ -137,6 +142,7 @@ def trace_sample(
             config.rr_start_depth,
             gather_mode=config.gather_mode,
             sky_strength=config.sky_strength,
+            enable_refraction=config.enable_refraction,
         )
         return (paths, radiance + contrib), None
 
@@ -245,6 +251,7 @@ class Renderer:
         self.config = config
         self.state = RenderState.create(self.scene.camera.pixel_count, seed)
         self.metrics = MetricsTracker(self.scene.camera.pixel_count)
+        self._host_iteration = 0  # mirrors state.iteration without a D2H fetch
         pipeline = config.resolve_pipeline(self.scene)
         # the fast/pallas pipelines carry their own fused intersector
         if pipeline in ("fast", "pallas"):
@@ -270,7 +277,7 @@ class Renderer:
 
     @property
     def iteration(self) -> int:
-        return int(self.state.iteration)
+        return self._host_iteration
 
     def step(self, num_samples: Optional[int] = None, sync: bool = True) -> int:
         """Run a batch of samples; returns the new iteration count.
@@ -281,6 +288,7 @@ class Renderer:
             num_samples = self.config.samples_per_launch
         t0 = time.perf_counter()
         self.state = self._step(self.scene, self.state, self.config, num_samples)
+        self._host_iteration += num_samples
         if sync:
             self.sync()
         self.metrics.record(num_samples, time.perf_counter() - t0)
@@ -361,6 +369,7 @@ class Renderer:
                 f"renderer {self.state.accum.shape}"
             )
         self.state = state
+        self._host_iteration = int(state.iteration)
         return self
 
     # ── camera interaction (accumulation reset, `main.cpp:110-136`) ──
@@ -368,4 +377,5 @@ class Renderer:
     def set_camera(self, camera) -> None:
         self.scene = self.scene.replace(camera=camera)
         self.state = self.state.reset()
+        self._host_iteration = 0
         self.metrics = MetricsTracker(self.scene.camera.pixel_count)

@@ -1,0 +1,116 @@
+"""Pallas megakernel correctness via interpret mode on CPU, cross-checked
+against the SoA fast pipeline."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cosc_4397_pathtracing_raytracing_project_tpu import RenderConfig
+from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import megakernel
+from cosc_4397_pathtracing_raytracing_project_tpu.ops import fast
+from cosc_4397_pathtracing_raytracing_project_tpu.scene import Scene, parse_scene
+
+from test_render import CORNELL_SMALL
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return Scene.from_desc(parse_scene(CORNELL_SMALL))
+
+
+@pytest.fixture(autouse=True)
+def small_tiles():
+    """Interpret mode runs at Python speed: shrink the ray tile so the 64×64
+    test scene (4096 px) isn't padded to a full 16k-lane hardware tile."""
+    rows, tile = megakernel.TILE_ROWS, megakernel.TILE
+    megakernel.TILE_ROWS, megakernel.TILE = 32, 32 * 128
+    yield
+    megakernel.TILE_ROWS, megakernel.TILE = rows, tile
+
+
+@pytest.mark.parametrize("mode", ["light_only", "throughput"])
+def test_megakernel_matches_fast_pipeline(scene, mode):
+    # interpret mode runs at Python speed: keep the workload tiny
+    cfg = RenderConfig(gather_mode=mode, trace_depth=4)
+    n_samples = 3
+    rad_mk = np.asarray(
+        megakernel.render_samples(
+            scene, cfg, jnp.int32(0), jnp.int32(1), n_samples, interpret=True
+        )
+    ) / n_samples
+
+    # fast pipeline, same sample count (different RNG streams → statistical)
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    acc = jnp.zeros((scene.camera.pixel_count, 3))
+    for i in range(n_samples):
+        acc = acc + fast.trace_sample_fast(scene, cfg, key, jnp.int32(1 + i))
+    rad_fast = np.asarray(acc) / n_samples
+
+    assert np.isfinite(rad_mk).all()
+    assert rad_mk.min() >= 0 if mode == "light_only" else True
+    # same estimator ⇒ matching means and structure (8 spp: loose bounds)
+    assert abs(rad_mk.mean() - rad_fast.mean()) / max(rad_fast.mean(), 1e-9) < 0.3
+    if mode == "light_only":  # throughput @3 spp is too noisy for structure
+        corr = np.corrcoef(rad_mk.mean(-1), rad_fast.mean(-1))[0, 1]
+        assert corr > 0.7
+
+
+def test_megakernel_iteration_decorrelation(scene):
+    cfg = RenderConfig(trace_depth=2)
+    a = np.asarray(
+        megakernel.render_samples(scene, cfg, jnp.int32(0), jnp.int32(1), 1, interpret=True)
+    )
+    b = np.asarray(
+        megakernel.render_samples(scene, cfg, jnp.int32(0), jnp.int32(100), 1, interpret=True)
+    )
+    assert np.abs(a - b).max() > 0  # different iterations → different noise
+    c = np.asarray(
+        megakernel.render_samples(scene, cfg, jnp.int32(0), jnp.int32(1), 1, interpret=True)
+    )
+    np.testing.assert_array_equal(a, c)  # replayable
+
+
+def test_mesh_cluster_kernel_interpret(rng_np):
+    """Cluster-culled mesh kernel (interpret) vs direct Möller–Trumbore."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas.mesh_kernel import (
+        ClusterMeshIntersector,
+    )
+
+    t = 300
+    v0 = rng_np.uniform(-5, 5, (t, 3)).astype(np.float32)
+    e1 = rng_np.normal(size=(t, 3)).astype(np.float32)
+    e2 = rng_np.normal(size=(t, 3)).astype(np.float32)
+    isect = ClusterMeshIntersector(v0, e1, e2, interpret=True)
+    n = 128
+    o = rng_np.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tt, ti = isect(jnp.asarray(o), jnp.asarray(d))
+    tt, ti = np.asarray(tt), np.asarray(ti)
+
+    # reference: brute force MT in numpy
+    eps = 1e-9
+    best_t = np.full(n, np.inf)
+    best_i = np.full(n, -1)
+    for j in range(t):
+        p = np.cross(d, e2[j])
+        det = p @ e1[j]
+        ok = np.abs(det) > eps
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tv = o - v0[j]
+        u = (tv * p).sum(1) * inv
+        q = np.cross(tv, e1[j])
+        v = (d * q).sum(1) * inv
+        tj = (q @ e2[j]) * inv
+        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (tj > 1e-4) & (tj < best_t)
+        best_t = np.where(hit, tj, best_t)
+        best_i = np.where(hit, j, best_i)
+
+    hit_mask = best_i >= 0
+    got_mask = ti >= 0
+    assert (hit_mask == got_mask).mean() > 0.99
+    both = hit_mask & got_mask
+    np.testing.assert_allclose(tt[both], best_t[both], rtol=1e-3, atol=1e-4)
+    assert (ti[both] == best_i[both]).mean() > 0.99
