@@ -290,117 +290,8 @@ def trace_sample_fast(
         (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_) = carry
         key = rng_ops.bounce_key(base_key, iteration, depth)
         u = jax.random.uniform(key, (rng_ops.NUM_LANES, n), jnp.float32)
-        u_rr, u_branch, u_a, u_b, u_c = u[0], u[1], u[2], u[3], u[4]
-
         best = intersect_unrolled(scene, ox, oy, oz, dx, dy, dz)
-        alive = bounces > 0
-        missed = best.miss
-
-        # sky (`pathtrace.cu:358-362`)
-        t_sky = 0.5 * (dy + 1.0)
-        sky_r = ((1.0 - t_sky) + t_sky * 0.5) * 0.5
-        sky_g = ((1.0 - t_sky) + t_sky * 0.7) * 0.5
-        sky_b = ((1.0 - t_sky) + t_sky * 1.0) * 0.5
-        if legacy:
-            cr = jnp.where(missed, cr * sky_r, cr)
-            cg = jnp.where(missed, cg * sky_g, cg)
-            cb = jnp.where(missed, cb * sky_b, cb)
-        elif config.sky_strength:
-            esc = missed & alive
-            ss = jnp.float32(config.sky_strength)
-            rr_ = jnp.where(esc, rr_ + cr * sky_r * ss, rr_)
-            rg_ = jnp.where(esc, rg_ + cg * sky_g * ss, rg_)
-            rb_ = jnp.where(esc, rb_ + cb * sky_b * ss, rb_)
-
-        act = ~missed & alive
-        mat = _select_material(scene.materials, best.mat)
-
-        # emissive termination
-        emissive = mat["emit"] > 0.0
-        hit_light = act & emissive
-        if legacy:
-            cr = jnp.where(hit_light, cr * mat["cr"] * mat["emit"], cr)
-            cg = jnp.where(hit_light, cg * mat["cg"] * mat["emit"], cg)
-            cb = jnp.where(hit_light, cb * mat["cb"] * mat["emit"], cb)
-        else:
-            rr_ = jnp.where(hit_light, rr_ + cr * mat["cr"] * mat["emit"], rr_)
-            rg_ = jnp.where(hit_light, rg_ + cg * mat["cg"] * mat["emit"], rg_)
-            rb_ = jnp.where(hit_light, rb_ + cb * mat["cb"] * mat["emit"], rb_)
-        act = act & ~emissive
-
-        # Russian roulette
-        rr_on = depth > jnp.int32(config.rr_start_depth)
-        p_cont = jnp.maximum(mat["cr"], jnp.maximum(mat["cg"], mat["cb"]))
-        rr_kill = act & rr_on & (u_rr > p_cont)
-        rr_boost = jnp.where(
-            act & rr_on & ~rr_kill, 1.0 / jnp.maximum(p_cont, 1e-12), 1.0
-        )
-        cr, cg, cb = cr * rr_boost, cg * rr_boost, cb * rr_boost
-        act = act & ~rr_kill
-
-        # scatter
-        nx, ny, nz = best.nx, best.ny, best.nz
-        refl = mat["refl"]
-        rough = 1.0 - mat["refr"]
-        spec = act & (refl > 0.0) & (u_branch < refl)
-
-        # mirror + cone perturb around the reflected direction
-        ddn = dx * nx + dy * ny + dz * nz
-        rx = dx - 2.0 * ddn * nx
-        ry = dy - 2.0 * ddn * ny
-        rz = dz - 2.0 * ddn * nz
-        tx, ty, tz, bx, by, bz = _local_frame(rx, ry, rz)
-        ang = rough * u_a * (_PI * 0.5)
-        sa = jnp.sin(ang)
-        ca = jnp.cos(ang)
-        ph_s = 2.0 * _PI * u_c
-        cp_s = jnp.cos(ph_s)
-        sp_s = jnp.sin(ph_s)
-        wx, wy, wz = sa * cp_s, ca, sa * sp_s
-        sdx = tx * wx + rx * wy + bx * wz
-        sdy = ty * wx + ry * wy + by * wz
-        sdz = tz * wx + rz * wy + bz * wz
-        rs = _rsqrt(jnp.maximum(sdx * sdx + sdy * sdy + sdz * sdz, 1e-20))
-        sdx, sdy, sdz = sdx * rs, sdy * rs, sdz * rs
-
-        # cosine-weighted diffuse: cosθ=√(1-u_a), sinθ=√u_a (trig-free polar)
-        tx2, ty2, tz2, bx2, by2, bz2 = _local_frame(nx, ny, nz)
-        st = jnp.sqrt(u_a)
-        ct = jnp.sqrt(jnp.maximum(1.0 - u_a, 0.0))
-        ph_d = 2.0 * _PI * u_b
-        cp_d = jnp.cos(ph_d)
-        sp_d = jnp.sin(ph_d)
-        qx, qy, qz = st * cp_d, ct, st * sp_d
-        ddx = tx2 * qx + nx * qy + bx2 * qz
-        ddy = ty2 * qx + ny * qy + by2 * qz
-        ddz = tz2 * qx + nz * qy + bz2 * qz
-        rd = _rsqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-20))
-        ddx, ddy, ddz = ddx * rd, ddy * rd, ddz * rd
-
-        new_dx = jnp.where(spec, sdx, ddx)
-        new_dy = jnp.where(spec, sdy, ddy)
-        new_dz = jnp.where(spec, sdz, ddz)
-        tint_r = jnp.where(spec, mat["sr"], mat["cr"])
-        tint_g = jnp.where(spec, mat["sg"], mat["cg"])
-        tint_b = jnp.where(spec, mat["sb"], mat["cb"])
-
-        # hit point = o + t·d (exact algebra, see module docstring)
-        hx = ox + best.t * dx + nx * _ORIGIN_OFFSET
-        hy = oy + best.t * dy + ny * _ORIGIN_OFFSET
-        hz = oz + best.t * dz + nz * _ORIGIN_OFFSET
-
-        cr = jnp.where(act, cr * tint_r, cr)
-        cg = jnp.where(act, cg * tint_g, cg)
-        cb = jnp.where(act, cb * tint_b, cb)
-        ox = jnp.where(act, hx, ox)
-        oy = jnp.where(act, hy, oy)
-        oz = jnp.where(act, hz, oz)
-        dx = jnp.where(act, new_dx, dx)
-        dy = jnp.where(act, new_dy, dy)
-        dz = jnp.where(act, new_dz, dz)
-        bounces = jnp.where(act, bounces - 1, jnp.zeros_like(bounces))
-
-        return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_), None
+        return shade_soa(carry, best, u, scene.materials, depth, config), None
 
     carry, _ = jax.lax.scan(
         bounce, carry, jnp.arange(config.trace_depth, dtype=jnp.int32)
@@ -409,3 +300,284 @@ def trace_sample_fast(
     if legacy:
         return jnp.stack([cr, cg, cb], axis=-1)
     return jnp.stack([rr_, rg_, rb_], axis=-1)
+
+
+def shade_soa(carry, best: _Best, u, materials, depth, config):
+    """One masked shade/extend pass over SoA component state — the
+    componentwise twin of ops.shade.shade_step (same reference semantics).
+    `carry` is the 13-tuple wavefront state; `u` is [NUM_LANES, N]."""
+    (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_) = carry
+    legacy = config.gather_mode == "throughput"
+    u_rr, u_branch, u_a, u_b, u_c = u[0], u[1], u[2], u[3], u[4]
+
+    alive = bounces > 0
+    missed = best.miss
+
+    # sky (`pathtrace.cu:358-362`)
+    t_sky = 0.5 * (dy + 1.0)
+    sky_r = ((1.0 - t_sky) + t_sky * 0.5) * 0.5
+    sky_g = ((1.0 - t_sky) + t_sky * 0.7) * 0.5
+    sky_b = ((1.0 - t_sky) + t_sky * 1.0) * 0.5
+    if legacy:
+        cr = jnp.where(missed, cr * sky_r, cr)
+        cg = jnp.where(missed, cg * sky_g, cg)
+        cb = jnp.where(missed, cb * sky_b, cb)
+    elif config.sky_strength:
+        esc = missed & alive
+        ss = jnp.float32(config.sky_strength)
+        rr_ = jnp.where(esc, rr_ + cr * sky_r * ss, rr_)
+        rg_ = jnp.where(esc, rg_ + cg * sky_g * ss, rg_)
+        rb_ = jnp.where(esc, rb_ + cb * sky_b * ss, rb_)
+
+    act = ~missed & alive
+    mat = _select_material(materials, best.mat)
+
+    # emissive termination
+    emissive = mat["emit"] > 0.0
+    hit_light = act & emissive
+    if legacy:
+        cr = jnp.where(hit_light, cr * mat["cr"] * mat["emit"], cr)
+        cg = jnp.where(hit_light, cg * mat["cg"] * mat["emit"], cg)
+        cb = jnp.where(hit_light, cb * mat["cb"] * mat["emit"], cb)
+    else:
+        rr_ = jnp.where(hit_light, rr_ + cr * mat["cr"] * mat["emit"], rr_)
+        rg_ = jnp.where(hit_light, rg_ + cg * mat["cg"] * mat["emit"], rg_)
+        rb_ = jnp.where(hit_light, rb_ + cb * mat["cb"] * mat["emit"], rb_)
+    act = act & ~emissive
+
+    # Russian roulette
+    rr_on = depth > jnp.int32(config.rr_start_depth)
+    p_cont = jnp.maximum(mat["cr"], jnp.maximum(mat["cg"], mat["cb"]))
+    rr_kill = act & rr_on & (u_rr > p_cont)
+    rr_boost = jnp.where(
+        act & rr_on & ~rr_kill, 1.0 / jnp.maximum(p_cont, 1e-12), 1.0
+    )
+    cr, cg, cb = cr * rr_boost, cg * rr_boost, cb * rr_boost
+    act = act & ~rr_kill
+
+    # scatter
+    nx, ny, nz = best.nx, best.ny, best.nz
+    refl = mat["refl"]
+    rough = 1.0 - mat["refr"]
+    spec = act & (refl > 0.0) & (u_branch < refl)
+
+    # mirror + cone perturb around the reflected direction
+    ddn = dx * nx + dy * ny + dz * nz
+    rx = dx - 2.0 * ddn * nx
+    ry = dy - 2.0 * ddn * ny
+    rz = dz - 2.0 * ddn * nz
+    tx, ty, tz, bx, by, bz = _local_frame(rx, ry, rz)
+    ang = rough * u_a * (_PI * 0.5)
+    sa = jnp.sin(ang)
+    ca = jnp.cos(ang)
+    ph_s = 2.0 * _PI * u_c
+    cp_s = jnp.cos(ph_s)
+    sp_s = jnp.sin(ph_s)
+    wx, wy, wz = sa * cp_s, ca, sa * sp_s
+    sdx = tx * wx + rx * wy + bx * wz
+    sdy = ty * wx + ry * wy + by * wz
+    sdz = tz * wx + rz * wy + bz * wz
+    rs = _rsqrt(jnp.maximum(sdx * sdx + sdy * sdy + sdz * sdz, 1e-20))
+    sdx, sdy, sdz = sdx * rs, sdy * rs, sdz * rs
+
+    # cosine-weighted diffuse: cosθ=√(1-u_a), sinθ=√u_a (trig-free polar)
+    tx2, ty2, tz2, bx2, by2, bz2 = _local_frame(nx, ny, nz)
+    st = jnp.sqrt(u_a)
+    ct = jnp.sqrt(jnp.maximum(1.0 - u_a, 0.0))
+    ph_d = 2.0 * _PI * u_b
+    cp_d = jnp.cos(ph_d)
+    sp_d = jnp.sin(ph_d)
+    qx, qy, qz = st * cp_d, ct, st * sp_d
+    ddx = tx2 * qx + nx * qy + bx2 * qz
+    ddy = ty2 * qx + ny * qy + by2 * qz
+    ddz = tz2 * qx + nz * qy + bz2 * qz
+    rd = _rsqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-20))
+    ddx, ddy, ddz = ddx * rd, ddy * rd, ddz * rd
+
+    new_dx = jnp.where(spec, sdx, ddx)
+    new_dy = jnp.where(spec, sdy, ddy)
+    new_dz = jnp.where(spec, sdz, ddz)
+    tint_r = jnp.where(spec, mat["sr"], mat["cr"])
+    tint_g = jnp.where(spec, mat["sg"], mat["cg"])
+    tint_b = jnp.where(spec, mat["sb"], mat["cb"])
+
+    # hit point = o + t·d (exact algebra, see module docstring)
+    hx = ox + best.t * dx + nx * _ORIGIN_OFFSET
+    hy = oy + best.t * dy + ny * _ORIGIN_OFFSET
+    hz = oz + best.t * dz + nz * _ORIGIN_OFFSET
+
+    cr = jnp.where(act, cr * tint_r, cr)
+    cg = jnp.where(act, cg * tint_g, cg)
+    cb = jnp.where(act, cb * tint_b, cb)
+    ox = jnp.where(act, hx, ox)
+    oy = jnp.where(act, hy, oy)
+    oz = jnp.where(act, hz, oz)
+    dx = jnp.where(act, new_dx, dx)
+    dy = jnp.where(act, new_dy, dy)
+    dz = jnp.where(act, new_dz, dz)
+    bounces = jnp.where(act, bounces - 1, jnp.zeros_like(bounces))
+
+    return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_)
+
+def supports_mesh(scene: Scene) -> bool:
+    """Mesh SoA pipeline: triangles via the cluster kernel + unrolled
+    analytic primitives."""
+    return (
+        scene.triangles.count > 0
+        and scene.cubes.count + scene.spheres.count <= MAX_UNROLL
+    )
+
+
+def trace_sample_mesh(
+    scene: Scene,
+    config,
+    base_key,
+    iteration,
+    cluster_isect,
+    pixel_offset=0,
+    num_pixels=None,
+):
+    """SoA wavefront for triangle-mesh scenes: per bounce, the cluster-culled
+    Pallas kernel handles triangles (emitting winner t/normal/material
+    in-kernel) and the unrolled loop handles analytic primitives; results
+    merge by nearest t and feed the shared shade_soa stage."""
+    from . import rng as rng_ops
+
+    cam = scene.camera
+    w, h = cam.resolution
+    n = num_pixels if num_pixels is not None else cam.pixel_count
+    legacy = config.gather_mode == "throughput"
+    has_analytic = scene.cubes.count + scene.spheres.count > 0
+
+    idx = pixel_offset + jnp.arange(n, dtype=jnp.int32)
+    px = (idx % w).astype(jnp.float32)
+    py = (idx // w).astype(jnp.float32)
+    if config.antialias:
+        jit2 = rng_ops.pixel_jitter(base_key, iteration, n)
+        px = px + jit2[:, 0]
+        py = py + jit2[:, 1]
+    sx = cam.pixel_length[0] * (px - 0.5 * w)
+    sy = cam.pixel_length[1] * (py - 0.5 * h)
+    dx = cam.view[0] - cam.right[0] * sx - cam.up[0] * sy
+    dy = cam.view[1] - cam.right[1] * sx - cam.up[1] * sy
+    dz = cam.view[2] - cam.right[2] * sx - cam.up[2] * sy
+    r = _rsqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx * r, dy * r, dz * r
+    ox = jnp.broadcast_to(cam.position[0], (n,))
+    oy = jnp.broadcast_to(cam.position[1], (n,))
+    oz = jnp.broadcast_to(cam.position[2], (n,))
+
+    ones = jnp.ones((n,), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
+    carry = (
+        ox, oy, oz, dx, dy, dz,
+        ones, ones, ones,
+        jnp.full((n,), config.trace_depth, jnp.int32),
+        zeros, zeros, zeros,
+    )
+    pixel = jnp.arange(n, dtype=jnp.int32)
+
+    # scene bounds for the origin-cell sort key
+    if getattr(config, "mesh_ray_sort", True):
+        lo = jnp.minimum(
+            scene.triangles.v0.min(axis=0),
+            jnp.minimum(
+                (scene.triangles.v0 + scene.triangles.e1).min(axis=0),
+                (scene.triangles.v0 + scene.triangles.e2).min(axis=0),
+            ),
+        )
+        hi = jnp.maximum(
+            scene.triangles.v0.max(axis=0),
+            jnp.maximum(
+                (scene.triangles.v0 + scene.triangles.e1).max(axis=0),
+                (scene.triangles.v0 + scene.triangles.e2).max(axis=0),
+            ),
+        )
+        cell_scale = 4.0 / jnp.maximum(hi - lo, 1e-3)
+
+    def sort_rays(carry, pixel):
+        """Reorder the wavefront by (origin cell, direction octant) so ray
+        tiles stay coherent and the cluster kernel's tile-level culling keeps
+        working on incoherent secondary bounces. Image-invariant because
+        radiance scatters back through pixel indices at the end (finalGather
+        architecture) — this is the stream 'compaction' that actually pays
+        on a TPU."""
+        (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_) = carry
+        alive = bounces > 0
+        octant = (
+            (dx > 0).astype(jnp.int32)
+            + 2 * (dy > 0).astype(jnp.int32)
+            + 4 * (dz > 0).astype(jnp.int32)
+        )
+        cx = jnp.clip(((ox - lo[0]) * cell_scale[0]).astype(jnp.int32), 0, 3)
+        cy = jnp.clip(((oy - lo[1]) * cell_scale[1]).astype(jnp.int32), 0, 3)
+        cz = jnp.clip(((oz - lo[2]) * cell_scale[2]).astype(jnp.int32), 0, 3)
+        key9 = octant + 8 * (cx + 4 * cy + 16 * cz)
+        key9 = jnp.where(alive, key9, jnp.int32(1 << 12))  # dead lanes last
+        perm = jnp.argsort(key9)
+        # one row-gather for the whole wavefront (separate [N] gathers cost
+        # ~16 ms each; a packed [N, 14] gather costs one)
+        packed = jnp.stack(
+            [ox, oy, oz, dx, dy, dz, cr, cg, cb,
+             bounces.astype(jnp.float32), rr_, rg_, rb_,
+             pixel.astype(jnp.float32)],
+            axis=-1,
+        )
+        packed = jnp.take(packed, perm, axis=0)
+        cols = [packed[:, i] for i in range(14)]
+        carry = tuple(cols[:9]) + (cols[9].astype(jnp.int32),) + tuple(cols[10:13])
+        return carry, cols[13].astype(jnp.int32)
+
+    def intersect_combined(ox, oy, oz, dx, dy, dz, alive) -> _Best:
+        t, ti, nx, ny, nz, mat_f = cluster_isect.call_soa(
+            ox, oy, oz, dx, dy, dz, active=alive
+        )
+        tri_hit = ti >= 0
+        best = _Best(
+            t=jnp.where(tri_hit, t, _MISS),
+            nx=nx, ny=ny, nz=nz,
+            mat=mat_f.astype(jnp.int32),
+            miss=~tri_hit,
+        )
+        if has_analytic:
+            a = intersect_unrolled(scene, ox, oy, oz, dx, dy, dz)
+            a_wins = a.t < best.t
+            best = _Best(
+                t=jnp.where(a_wins, a.t, best.t),
+                nx=jnp.where(a_wins, a.nx, best.nx),
+                ny=jnp.where(a_wins, a.ny, best.ny),
+                nz=jnp.where(a_wins, a.nz, best.nz),
+                mat=jnp.where(a_wins, a.mat, best.mat),
+                miss=best.miss & ~a_wins,
+            )
+        return best
+
+    do_sort = getattr(config, "mesh_ray_sort", True) and not legacy
+
+    def bounce(state, depth):
+        carry, pixel = state
+        if do_sort:
+            carry, pixel = sort_rays(carry, pixel)
+        (ox, oy, oz, dx, dy, dz, _cr, _cg, _cb, bounces, *_rest) = carry
+        key = rng_ops.bounce_key(base_key, iteration, depth)
+        u = jax.random.uniform(key, (rng_ops.NUM_LANES, n), jnp.float32)
+        # Dead-lane culling changes what dead lanes "see" (miss instead of a
+        # stale hit) — irrelevant in light_only (dead lanes accumulate
+        # nothing) but it would re-trigger legacy's sky re-multiplication,
+        # so legacy mode keeps every lane active (and skips the sort, whose
+        # image-invariance also relies on the light_only estimator).
+        alive = (bounces > 0) if not legacy else jnp.ones((n,), bool)
+        best = intersect_combined(ox, oy, oz, dx, dy, dz, alive)
+        return (shade_soa(carry, best, u, scene.materials, depth, config), pixel), None
+
+    (carry, pixel), _ = jax.lax.scan(
+        bounce, (carry, pixel), jnp.arange(config.trace_depth, dtype=jnp.int32)
+    )
+    (_, _, _, _, _, _, cr, cg, cb, _, rr_, rg_, rb_) = carry
+    if legacy:
+        return jnp.stack([cr, cg, cb], axis=-1)
+    values = jnp.stack([rr_, rg_, rb_], axis=-1)
+    if do_sort:
+        # finalGather: scatter radiance back to pixel order
+        return jnp.zeros((n, 3), jnp.float32).at[pixel].add(values)
+    return values

@@ -43,11 +43,14 @@ _MISS = 1e30
 _BACKOFF = 1e-4
 
 
-def pack_triangles(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
+def pack_triangles(
+    v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, material_id=None
+):
     """Pack (already BVH-leaf-ordered) triangles into cluster blocks.
 
     Returns (tri_rows [Tpad, 12] f32, aabbs [C, 8] f32, Tpad). Padding rows
-    are degenerate (zero edges → det 0 → never hit)."""
+    are degenerate (zero edges → det 0 → never hit). Column 9 carries the
+    per-triangle material id (as f32); 10-11 are free payload."""
     t = v0.shape[0]
     c = (t + CLUSTER - 1) // CLUSTER
     tpad = c * CLUSTER
@@ -55,7 +58,8 @@ def pack_triangles(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     rows[:t, 0:3] = v0
     rows[:t, 3:6] = e1
     rows[:t, 6:9] = e2
-    # column 9-11 free for future per-tri payload (normal is recomputed)
+    if material_id is not None:
+        rows[:t, 9] = np.asarray(material_id, np.float32)
     aabbs = np.zeros((c, 8), np.float32)
     v1 = v0 + e1
     v2 = v0 + e2
@@ -71,14 +75,20 @@ def pack_triangles(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
 
 def _make_kernel(num_clusters: int):
     def kernel(tri_ref, aabb_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-               dz_ref, t_out, i_out, best_t, best_i):
+               dz_ref, act_ref, t_out, i_out, nx_out, ny_out, nz_out, m_out,
+               best_t, best_i, bnx, bny, bnz, bmat):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        active = act_ref[:] > 0.5  # dead lanes never mark a cluster useful
         inv_dx = 1.0 / dx
         inv_dy = 1.0 / dy
         inv_dz = 1.0 / dz
         best_t[:] = jnp.full(ox.shape, _MISS, jnp.float32)
         best_i[:] = jnp.full(ox.shape, -1, jnp.int32)
+        bnx[:] = jnp.zeros(ox.shape, jnp.float32)
+        bny[:] = jnp.zeros(ox.shape, jnp.float32)
+        bnz[:] = jnp.zeros(ox.shape, jnp.float32)
+        bmat[:] = jnp.zeros(ox.shape, jnp.float32)
 
         def cluster_body(c, _):
             box = aabb_ref[pl.ds(c, 1), :]  # (1, 8)
@@ -96,7 +106,7 @@ def _make_kernel(num_clusters: int):
             hiz = jnp.maximum(t0z, t1z)
             tmin = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, 0.0))
             tmax = jnp.minimum(jnp.minimum(hix, hiy), hiz)
-            useful = (tmax >= tmin) & (tmin < best_t[:])
+            useful = (tmax >= tmin) & (tmin < best_t[:]) & active
 
             @pl.when(jnp.any(useful))
             def _():
@@ -128,8 +138,18 @@ def _make_kernel(num_clusters: int):
                         & (t > _BACKOFF)
                         & (t < best_t[:])
                     )
+                    # geometric normal, flipped to face the incoming ray
+                    # (normalized once after the sweep)
+                    fnx = e1y * e2z - e1z * e2y
+                    fny = e1z * e2x - e1x * e2z
+                    fnz = e1x * e2y - e1y * e2x
+                    fsign = jnp.where(dx * fnx + dy * fny + dz * fnz < 0, 1.0, -1.0)
                     best_t[:] = jnp.where(ok, t, best_t[:])
                     best_i[:] = jnp.where(ok, c * CLUSTER + j, best_i[:])
+                    bnx[:] = jnp.where(ok, fnx * fsign, bnx[:])
+                    bny[:] = jnp.where(ok, fny * fsign, bny[:])
+                    bnz[:] = jnp.where(ok, fnz * fsign, bnz[:])
+                    bmat[:] = jnp.where(ok, row[0, 9], bmat[:])
                     return 0
 
                 jax.lax.fori_loop(0, CLUSTER, tri_body, 0)
@@ -139,6 +159,13 @@ def _make_kernel(num_clusters: int):
         jax.lax.fori_loop(0, num_clusters, cluster_body, 0)
         t_out[:] = best_t[:]
         i_out[:] = best_i[:]
+        rn = jax.lax.rsqrt(
+            jnp.maximum(bnx[:] * bnx[:] + bny[:] * bny[:] + bnz[:] * bnz[:], 1e-30)
+        )
+        nx_out[:] = bnx[:] * rn
+        ny_out[:] = bny[:] * rn
+        nz_out[:] = bnz[:] * rn
+        m_out[:] = bmat[:]
 
     return kernel
 
@@ -152,7 +179,7 @@ _CHUNK_ROWS = 1024  # 128k rays per call
 def _intersect(
     tri_rows: jnp.ndarray,
     aabbs: jnp.ndarray,
-    ox, oy, oz, dx, dy, dz,
+    ox, oy, oz, dx, dy, dz, active,
     num_clusters: int,
     interpret: bool = False,
 ):
@@ -166,63 +193,84 @@ def _intersect(
             x = jnp.concatenate([x, jnp.full((n_pad - n,), fill, x.dtype)])
         return x.reshape(n_chunks, _CHUNK_ROWS, LANES)
 
-    # padding rays point along +x from far away: they hit nothing
+    # padding rays point along +x from far away, marked inactive
     args = (pad3(ox, 1e8), pad3(oy, 1e8), pad3(oz, 1e8),
-            pad3(dx, 1.0), pad3(dy, 0.0), pad3(dz, 0.0))
+            pad3(dx, 1.0), pad3(dy, 0.0), pad3(dz, 0.0),
+            pad3(active, 0.0))
 
     block = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((_CHUNK_ROWS, LANES), jnp.float32)
     call = pl.pallas_call(
         _make_kernel(num_clusters),
         grid=(_CHUNK_ROWS // TILE_ROWS,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster aabbs (full)
-            block, block, block, block, block, block,
+            block, block, block, block, block, block, block,
         ],
-        out_specs=(block, block),
+        out_specs=(block,) * 6,
         out_shape=(
-            jax.ShapeDtypeStruct((_CHUNK_ROWS, LANES), jnp.float32),
+            f32,
             jax.ShapeDtypeStruct((_CHUNK_ROWS, LANES), jnp.int32),
+            f32, f32, f32, f32,
         ),
         scratch_shapes=[
             pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
             pltpu.VMEM((TILE_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
         ],
         interpret=interpret,
     )
 
     def one(chunk_args):
-        cox, coy, coz, cdx, cdy, cdz = chunk_args
-        return call(tri_rows, aabbs, cox, coy, coz, cdx, cdy, cdz)
+        cox, coy, coz, cdx, cdy, cdz, cact = chunk_args
+        return call(tri_rows, aabbs, cox, coy, coz, cdx, cdy, cdz, cact)
 
-    t, i = jax.lax.map(one, args)
-    return t.reshape(-1)[:n], i.reshape(-1)[:n]
+    outs = jax.lax.map(one, args)
+    return tuple(o.reshape(-1)[:n] for o in outs)
 
 
 class ClusterMeshIntersector:
     """Triangle nearest-hit via the cluster-culled Pallas kernel.
 
-    Construct from BVH-leaf-ordered triangle arrays; returns (t, index into
-    that order) like ops.bvh's triangle traversal."""
+    Construct from BVH-leaf-ordered triangle arrays. `__call__` returns
+    (t, index) like ops.bvh's triangle traversal; `call_soa` additionally
+    returns the ray-facing unit normal and the per-triangle material id,
+    all computed in-kernel (no host-side winner gathers)."""
 
-    def __init__(self, v0, e1, e2, interpret: bool = False):
+    def __init__(self, v0, e1, e2, material_id=None, interpret: bool = False):
         rows, aabbs, tpad = pack_triangles(
             np.asarray(v0, np.float32),
             np.asarray(e1, np.float32),
             np.asarray(e2, np.float32),
+            material_id,
         )
         self.tri_rows = jnp.asarray(rows)
         self.aabbs = jnp.asarray(aabbs)
         self.num_clusters = aabbs.shape[0]
         self.interpret = interpret
 
-    def __call__(self, origins, directions) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def call_soa(self, ox, oy, oz, dx, dy, dz, active=None):
+        """(t, idx, nx, ny, nz, mat_f32) component arrays; idx = -1 on miss.
+        `active` (optional [N] f32/bool) lets whole ray tiles skip cluster
+        blocks once their lanes are dead."""
+        if active is None:
+            active = jnp.ones(ox.shape, jnp.float32)
         return _intersect(
             self.tri_rows,
             self.aabbs,
-            origins[:, 0], origins[:, 1], origins[:, 2],
-            directions[:, 0], directions[:, 1], directions[:, 2],
+            ox, oy, oz, dx, dy, dz, active.astype(jnp.float32),
             num_clusters=self.num_clusters,
             interpret=self.interpret,
         )
+
+    def __call__(self, origins, directions) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        t, i, _, _, _, _ = self.call_soa(
+            origins[:, 0], origins[:, 1], origins[:, 2],
+            directions[:, 0], directions[:, 1], directions[:, 2],
+        )
+        return t, i

@@ -52,6 +52,9 @@ class RenderConfig:
     # Extension: dielectric refraction via REFRIOR (the reference parses it
     # but never refracts). Forces the reference pipeline.
     enable_refraction: bool = False
+    # Mesh pipeline: re-sort the wavefront by (origin cell, direction octant)
+    # each bounce so tile-level cluster culling survives incoherent bounces.
+    mesh_ray_sort: bool = True
     # Pipeline: 'pallas' = single-dispatch TPU megakernel (ops.pallas),
     # 'fast' = SoA unrolled XLA hot path (ops.fast), 'reference' = readable
     # [N,3] path (ops.intersect/shade). 'auto' picks the fastest the scene
@@ -65,12 +68,14 @@ class RenderConfig:
             return self.pipeline
         from ..ops import fast as fast_mod
 
+        try:
+            on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        except Exception:
+            on_tpu = False
         if self.intersector in ("auto", "bruteforce") and fast_mod.supports(scene):
-            try:
-                on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-            except Exception:
-                on_tpu = False
             return "pallas" if on_tpu else "fast"
+        if on_tpu and fast_mod.supports_mesh(scene):
+            return "fast_mesh"
         return "reference"
 
     def resolve_intersector(self, scene: Scene) -> str:
@@ -211,6 +216,56 @@ def make_pallas_step(interpret: bool = False):
     return step
 
 
+def make_mesh_intersector(scene: Scene, interpret: bool = False):
+    """Cluster-culled triangle intersector, triangles pre-sorted into BVH
+    leaf order for spatial coherence within clusters."""
+    import numpy as np
+
+    from ..ops import bvh as bvh_mod
+    from ..ops.pallas.mesh_kernel import ClusterMeshIntersector
+
+    v0 = np.asarray(scene.triangles.v0)
+    e1 = np.asarray(scene.triangles.e1)
+    e2 = np.asarray(scene.triangles.e2)
+    mat = np.asarray(scene.triangles.material_id)
+    tmin = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    tmax = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    bvh = bvh_mod.try_native_build(tmin, tmax, 8) or bvh_mod.build_bvh(
+        tmin, tmax, leaf_size=8
+    )
+    order = bvh.order
+    return ClusterMeshIntersector(
+        v0[order], e1[order], e2[order], mat[order], interpret=interpret
+    )
+
+
+def make_mesh_step(scene: Scene, interpret: bool = False):
+    """Step function for the SoA mesh pipeline (ops.fast.trace_sample_mesh).
+
+    Dispatches ONE sample per device call: a large-mesh sample at high
+    resolution can run for seconds, and batching several into a single XLA
+    computation trips the TPU watchdog (observed as a worker crash)."""
+    from ..ops import fast as fast_mod
+
+    cluster = make_mesh_intersector(scene, interpret=interpret)
+
+    @partial(jax.jit, static_argnames=("config",))
+    def one(scene, accum, key, iteration, config):
+        return accum + fast_mod.trace_sample_mesh(
+            scene, config, key, iteration, cluster
+        )
+
+    def step(scene, state, config, num_samples):
+        accum = state.accum
+        for i in range(num_samples):
+            accum = one(scene, accum, state.key, state.iteration + 1 + i, config)
+        return state.replace(
+            accum=accum, iteration=state.iteration + jnp.int32(num_samples)
+        )
+
+    return step
+
+
 class Renderer:
     """Host-side driver: owns the device scene, render state, and metrics.
 
@@ -254,13 +309,15 @@ class Renderer:
         self._host_iteration = 0  # mirrors state.iteration without a D2H fetch
         pipeline = config.resolve_pipeline(self.scene)
         # the fast/pallas pipelines carry their own fused intersector
-        if pipeline in ("fast", "pallas"):
+        if pipeline in ("fast", "pallas", "fast_mesh"):
             self._intersector = None
         else:
             self._intersector = make_intersector(self.scene, config)
 
         if pipeline == "pallas":
             self._step = make_pallas_step()
+        elif pipeline == "fast_mesh":
+            self._step = make_mesh_step(self.scene)
         else:
             # A distinct closure per Renderer: sharing a HashablePartial
             # across jit wrappers aliases their executable caches in jax 0.9

@@ -1,0 +1,95 @@
+"""SoA mesh pipeline (cluster kernel + shade_soa) vs the reference pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosc_4397_pathtracing_raytracing_project_tpu import RenderConfig
+from cosc_4397_pathtracing_raytracing_project_tpu.ops import fast
+from cosc_4397_pathtracing_raytracing_project_tpu.render.engine import (
+    make_mesh_intersector,
+)
+from cosc_4397_pathtracing_raytracing_project_tpu.render.engine import (
+    trace_sample,
+)
+from cosc_4397_pathtracing_raytracing_project_tpu.scene import (
+    Scene,
+    SceneDesc,
+    CameraDesc,
+    transforms,
+)
+
+
+@pytest.fixture(scope="module")
+def tri_scene(rng_np=None):
+    """A small closed-ish scene: emissive cube above a triangulated floor +
+    a triangulated box of 12 tris."""
+    rng = np.random.default_rng(5)
+    tf, inv, invt = transforms.geom_matrices([0, 4, 0], [0, 0, 0], [2, 0.2, 2])
+    # floor grid
+    n = 7
+    xs = np.linspace(-4, 4, n)
+    verts = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = [xs[i], 0, xs[j]]
+            b = [xs[i + 1], 0, xs[j]]
+            c = [xs[i], 0, xs[j + 1]]
+            d = [xs[i + 1], 0, xs[j + 1]]
+            verts.append([a, b, c])
+            verts.append([b, d, c])
+    tri = np.asarray(verts, np.float32)
+    desc = SceneDesc(
+        geom_type=np.array([0], np.int32),
+        material_id=np.array([0], np.int32),
+        translation=np.array([[0, 4, 0]], np.float32),
+        rotation=np.zeros((1, 3), np.float32),
+        scale=np.array([[2, 0.2, 2]], np.float32),
+        transform=tf[None],
+        inv_transform=inv[None],
+        inv_transpose=invt[None],
+        color=np.array([[1, 1, 1], [0.7, 0.5, 0.3]], np.float32),
+        specular_exponent=np.zeros(2, np.float32),
+        specular_color=np.zeros((2, 3), np.float32),
+        reflectivity=np.zeros(2, np.float32),
+        refractive=np.zeros(2, np.float32),
+        ior=np.zeros(2, np.float32),
+        emittance=np.array([5, 0], np.float32),
+        camera=CameraDesc(
+            (32, 32), 45.0, np.array([0, 2.5, 9.0]), np.array([0, 1.5, 0.0]),
+            np.array([0, 1, 0.0]),
+        ),
+        tri_vertices=tri,
+        tri_material_id=np.full(len(tri), 1, np.int32),
+    )
+    return Scene.from_desc(desc)
+
+
+def test_supports_mesh(tri_scene):
+    assert fast.supports_mesh(tri_scene)
+    assert not fast.supports(tri_scene)
+
+
+def test_mesh_pipeline_matches_reference(tri_scene):
+    cfg = RenderConfig(trace_depth=4, sky_strength=0.5)
+    cluster = make_mesh_intersector(tri_scene, interpret=True)
+    key = jax.random.PRNGKey(0)
+    n_samples = 6
+    acc_mesh = jnp.zeros((tri_scene.camera.pixel_count, 3))
+    acc_ref = jnp.zeros_like(acc_mesh)
+    for i in range(n_samples):
+        acc_mesh = acc_mesh + fast.trace_sample_mesh(
+            tri_scene, cfg, key, jnp.int32(1 + i), cluster
+        )
+        acc_ref = acc_ref + trace_sample(
+            tri_scene, cfg, key, jnp.int32(1 + i)
+        )
+    a = np.asarray(acc_mesh) / n_samples
+    b = np.asarray(acc_ref) / n_samples
+    assert np.isfinite(a).all()
+    # identical RNG streams (both use pixel-indexed [NUM_LANES, n]? no — the
+    # reference path draws [n, lanes]); compare statistically
+    assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-9) < 0.15
+    corr = np.corrcoef(a.mean(-1), b.mean(-1))[0, 1]
+    assert corr > 0.9
