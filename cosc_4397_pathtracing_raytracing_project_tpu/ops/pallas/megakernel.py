@@ -137,6 +137,9 @@ def _pack_scene(scene: Scene) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
 
 
 ABLATION = ""  # perf diagnosis only: 'noprng' | 'nointersect' | 'noscatter'
+# Sample chains interleaved per loop iteration (2 overlaps independent
+# dependency chains; jit does NOT key on this — set before first call only).
+INTERLEAVE = 1
 
 
 def _make_kernel(
@@ -197,10 +200,7 @@ def _make_kernel(
             [mat_ref[i * 9 + j] for j in range(9)] for i in range(num_materials)
         ]
 
-        def sample_body(s, acc):
-            acc_r, acc_g, acc_b = acc
-            iteration = iter_base + s
-
+        def init_sample(iteration):
             # ── raygen (generateRayFromCamera, `pathtrace.cu:270-286`) ──
             if antialias:
                 seed_prng(_mix(seed, iteration, jnp.int32(0xAA), tile))
@@ -228,7 +228,10 @@ def _make_kernel(
             rad_r = jnp.zeros(shape, jnp.float32)
             rad_g = jnp.zeros(shape, jnp.float32)
             rad_b = jnp.zeros(shape, jnp.float32)
+            return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
+                    rad_r, rad_g, rad_b)
 
+        def make_bounce(iteration):
             def bounce_body(depth, st):
                 (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                  rad_r, rad_g, rad_b) = st
@@ -506,23 +509,49 @@ def _make_kernel(
                 return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                         rad_r, rad_g, rad_b)
 
-            st = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
-                  rad_r, rad_g, rad_b)
-            # Unrolled bounce loop: a fori_loop here costs ~0.3 ms/bounce in
-            # carry copies + loop control — more than the bounce's compute.
-            for depth in range(trace_depth):
-                st = bounce_body(depth, st)
+            return bounce_body
+
+        def accumulate(acc, st):
+            acc_r, acc_g, acc_b = acc
             (_, _, _, _, _, _, cr, cg, cb, _, rad_r, rad_g, rad_b) = st
             if legacy:
                 return (acc_r + cr, acc_g + cg, acc_b + cb)
             return (acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
+
+        # Unrolled bounce loop: a fori_loop here costs ~0.3 ms/bounce in
+        # carry copies + loop control — more than the bounce's compute.
+        def sample_body(s, acc):
+            iteration = iter_base + s
+            st = init_sample(iteration)
+            bounce = make_bounce(iteration)
+            for depth in range(trace_depth):
+                st = bounce(depth, st)
+            return accumulate(acc, st)
+
+        def pair_body(p, acc):
+            # Two independent sample chains interleaved at bounce granularity:
+            # the scheduler can overlap one chain's transcendental/divide
+            # latency with the other's independent arithmetic.
+            it_a = iter_base + 2 * p
+            it_b = it_a + 1
+            st_a = init_sample(it_a)
+            st_b = init_sample(it_b)
+            bounce_a = make_bounce(it_a)
+            bounce_b = make_bounce(it_b)
+            for depth in range(trace_depth):
+                st_a = bounce_a(depth, st_a)
+                st_b = bounce_b(depth, st_b)
+            return accumulate(accumulate(acc, st_a), st_b)
 
         acc = (
             jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.float32),
         )
-        acc = jax.lax.fori_loop(0, num_samples, sample_body, acc)
+        if INTERLEAVE == 2 and num_samples % 2 == 0:
+            acc = jax.lax.fori_loop(0, num_samples // 2, pair_body, acc)
+        else:
+            acc = jax.lax.fori_loop(0, num_samples, sample_body, acc)
         or_ref[:] = acc[0]
         og_ref[:] = acc[1]
         ob_ref[:] = acc[2]
