@@ -34,14 +34,12 @@ def main():
         RenderConfig(samples_per_launch=chunk),
     )
 
-    # Warm up / compile outside the timed region, then reset state+metrics.
+    # Warm up / compile outside the timed region, then reset device state,
+    # the host iteration mirror, and metrics together (resetting only device
+    # state would make render(iters) trace iters-chunk samples while rays/s
+    # divides by iters — a ~5% inflation).
     renderer.step(chunk)
-    renderer.state = renderer.state.reset()
-    from cosc_4397_pathtracing_raytracing_project_tpu.render.metrics import (
-        MetricsTracker,
-    )
-
-    renderer.metrics = MetricsTracker(renderer.scene.camera.pixel_count)
+    renderer.reset()
 
     t0 = time.perf_counter()
     renderer.render(iters)
@@ -54,24 +52,35 @@ def main():
     psnr = renderer.metrics.update_psnr(renderer.state.accum, renderer.iteration)
 
     # Golden-image PSNR (the north-star quality gate): render the upstream
-    # starter configuration and compare against its 5000-sample reference.
-    psnr_golden = None
+    # starter configuration and compare against its 5000-sample reference,
+    # at 1000 spp (noise-floor context) and converged at 5000 spp.
+    # Measured asymptote: 39.4 dB @ 100k spp, limited by the golden's own
+    # 5000-spp Monte Carlo noise.
+    psnr_golden = psnr_golden_5000 = None
     golden_png = os.path.join(REPO, "tests", "data", "REFERENCE_cornell.5000samp.png")
     golden_scene = os.path.join(REPO, "scenes", "cornell_golden.txt")
     if os.path.exists(golden_png) and os.path.exists(golden_scene):
+        import math
+
         import numpy as np
 
         from cosc_4397_pathtracing_raytracing_project_tpu.io.png import read_png
 
         ref_img = read_png(golden_png).astype("float32") / 255.0
+
+        def golden_psnr(renderer):
+            mine = np.clip(renderer.linear_image(), 0, 1)[:, ::-1, :]
+            return round(10.0 * math.log10(1.0 / float(((mine - ref_img) ** 2).mean())), 2)
+
         rg = Renderer(
             golden_scene,
             RenderConfig(samples_per_launch=chunk, antialias=True),
         )
         rg.render(min(iters, 1000))
-        mine = np.clip(rg.linear_image(), 0, 1)[:, ::-1, :]
-        mse = float(((mine - ref_img) ** 2).mean())
-        psnr_golden = round(10.0 * __import__("math").log10(1.0 / mse), 2)
+        psnr_golden = golden_psnr(rg)
+        if iters >= 1000:
+            rg.render(5000)
+            psnr_golden_5000 = golden_psnr(rg)
 
     result = {
         "metric": "primary_samples_per_sec_cornell_800x800_depth8",
@@ -86,6 +95,7 @@ def main():
             "chunk": chunk,
             "device": str(__import__("jax").devices()[0]),
             "psnr_vs_golden_db_1000spp": psnr_golden,
+            "psnr_vs_golden_db_5000spp": psnr_golden_5000,
         },
     }
     print(json.dumps(result))

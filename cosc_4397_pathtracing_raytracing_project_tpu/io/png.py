@@ -62,11 +62,60 @@ def write_png(path: str, image: np.ndarray) -> str:
     return path
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
+def _defilter(raw: np.ndarray, height: int, stride: int, channels: int) -> np.ndarray:
+    """Reverse PNG scanline filters; `raw` is uint8 [height, 1+stride].
+    Native C++ when built; otherwise vectorized NumPy (Sub is a cumsum mod
+    256, Up is a row add; Average/Paeth keep their sequential left-to-right
+    dependency but run one int32 pixel-vector step per pixel, not per byte)."""
+    try:
+        from ..native import runtime as native_runtime
+
+        if native_runtime.png_defilter(raw, height, stride, channels):
+            return raw[:, 1:]
+    except Exception:
+        pass
+
+    filters = raw[:, 0]
+    scan = raw[:, 1:]
+    c = channels
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        f_type = filters[y]
+        if f_type == 0:
+            line = scan[y].astype(np.int32)
+        elif f_type == 1:  # Sub: out[x] = Σ raw[..x] per channel, mod 256
+            line = scan[y].reshape(-1, c).astype(np.uint32)
+            line = (line.cumsum(axis=0) & 0xFF).astype(np.int32).reshape(-1)
+        elif f_type == 2:  # Up
+            line = (scan[y].astype(np.int32) + prev) & 0xFF
+        elif f_type == 3:  # Average
+            line = scan[y].astype(np.int32)
+            up = prev.reshape(-1, c)
+            px = line.reshape(-1, c)
+            left = np.zeros(c, np.int32)
+            for x in range(px.shape[0]):
+                left = (px[x] + ((left + up[x]) >> 1)) & 0xFF
+                px[x] = left
+        elif f_type == 4:  # Paeth
+            line = scan[y].astype(np.int32)
+            up = prev.reshape(-1, c)
+            px = line.reshape(-1, c)
+            left = np.zeros(c, np.int32)
+            ul = np.zeros(c, np.int32)
+            for x in range(px.shape[0]):
+                p = left + up[x] - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
+                )
+                left = (px[x] + pred) & 0xFF
+                px[x] = left
+                ul = up[x]
+        else:
+            raise ValueError(f"unknown PNG filter type {f_type}")
+        scan[y] = line.astype(np.uint8)
+        prev = line
+    return scan
 
 
 def read_png(path: str) -> np.ndarray:
@@ -97,28 +146,9 @@ def read_png(path: str) -> np.ndarray:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
     stride = width * channels
-    raw = raw.reshape(height, 1 + stride)
-    filters = raw[:, 0]
-    scan = raw[:, 1:].copy()
-    prev = np.zeros(stride, np.uint8)
-    for y in range(height):
-        line = scan[y]
-        f_type = filters[y]
-        if f_type == 1:  # Sub
-            for x in range(channels, stride):
-                line[x] = (line[x] + line[x - channels]) & 0xFF
-        elif f_type == 2:  # Up
-            line += prev
-        elif f_type == 3:  # Average
-            for x in range(stride):
-                left = line[x - channels] if x >= channels else 0
-                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
-        elif f_type == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - channels] if x >= channels else np.uint8(0)
-                c = prev[x - channels] if x >= channels else np.uint8(0)
-                line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
-        prev = line
+    # copy: frombuffer views are read-only and the defilter runs in place
+    raw = raw.reshape(height, 1 + stride).copy()
+    scan = _defilter(raw, height, stride, channels)
     return scan.reshape(height, width, channels)
 
 

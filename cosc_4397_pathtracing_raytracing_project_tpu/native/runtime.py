@@ -38,6 +38,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.pt_png_defilter.restype = ctypes.c_int
+        lib.pt_png_defilter.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),  # raw [h, 1+stride], in place
+            ctypes.c_int,  # height
+            ctypes.c_int,  # stride (bytes)
+            ctypes.c_int,  # bytes per pixel
+        ]
         lib.pt_build_bvh.restype = ctypes.c_int
         lib.pt_build_bvh.argtypes = [
             ctypes.POINTER(ctypes.c_float),  # mins [n,3]
@@ -88,6 +95,21 @@ def write_png(path: str, image: np.ndarray) -> str:
     if rc != 0:
         raise RuntimeError(f"native PNG write failed ({rc})")
     return path
+
+
+def png_defilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> bool:
+    """Reverse PNG scanline filters in place. `raw` is a contiguous uint8
+    [height, 1+stride] array (filter byte + payload per row). Returns True
+    on success, False if the native lib is unavailable or hit an unknown
+    filter type (caller falls back to the NumPy path)."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert raw.dtype == np.uint8 and raw.flags["C_CONTIGUOUS"]
+    rc = lib.pt_png_defilter(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), height, stride, bpp
+    )
+    return rc == 0
 
 
 def build_bvh(mins: np.ndarray, maxs: np.ndarray, leaf_size: int = 1):

@@ -83,6 +83,54 @@ int pt_write_png(const char* path, const uint8_t* pixels, int width,
   return written == out.size() ? 0 : 4;
 }
 
+// ─────────────────────────── PNG defilter ───────────────────────────
+// Reverses PNG scanline filtering in place (8-bit samples). `raw` is the
+// zlib-decompressed stream laid out as height rows of (1 filter byte +
+// stride payload bytes); bpp = bytes per pixel. Returns 0, or 1 on an
+// unknown filter type. Replaces the per-pixel Python defilter loops for
+// Sub/Average/Paeth rows (io/png.py).
+
+int pt_png_defilter(uint8_t* raw, int height, int stride, int bpp) {
+  std::vector<uint8_t> zero(stride, 0);
+  const uint8_t* prev = zero.data();
+  for (int y = 0; y < height; ++y) {
+    uint8_t* row = raw + (size_t)y * (stride + 1);
+    const int f = row[0];
+    uint8_t* line = row + 1;
+    switch (f) {
+      case 0:
+        break;
+      case 1:  // Sub
+        for (int x = bpp; x < stride; ++x) line[x] += line[x - bpp];
+        break;
+      case 2:  // Up
+        for (int x = 0; x < stride; ++x) line[x] += prev[x];
+        break;
+      case 3:  // Average
+        for (int x = 0; x < bpp; ++x) line[x] += prev[x] >> 1;
+        for (int x = bpp; x < stride; ++x)
+          line[x] += (uint8_t)(((int)line[x - bpp] + prev[x]) >> 1);
+        break;
+      case 4: {  // Paeth
+        for (int x = 0; x < bpp; ++x) line[x] += prev[x];
+        for (int x = bpp; x < stride; ++x) {
+          const int a = line[x - bpp], b = prev[x], c = prev[x - bpp];
+          const int p = a + b - c;
+          const int pa = std::abs(p - a), pb = std::abs(p - b),
+                    pc = std::abs(p - c);
+          const int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc) ? b : c;
+          line[x] += (uint8_t)pred;
+        }
+        break;
+      }
+      default:
+        return 1;
+    }
+    prev = line;
+  }
+  return 0;
+}
+
 // ─────────────────────────── BVH builder ───────────────────────────
 // Median split on the longest centroid axis, preorder node emission —
 // the reference algorithm (`buildBVHRecursive`, pathtrace.cu:52-99)
@@ -230,12 +278,20 @@ int pt_load_obj(const char* path, float* tri_verts /* [tris,3,3] */,
         face.push_back(v > 0 ? v - 1 : nverts + v);
         while (*s && *s != ' ' && *s != '\t' && *s != '\n' && *s != '\r') ++s;
       }
+      const int64_t nverts = (int64_t)verts.size() / 3;
       for (size_t k = 1; k + 1 < face.size(); ++k) {
         if (tris >= max_tris) {
           std::fclose(f);
           return -2;
         }
         int64_t ids[3] = {face[0], face[k], face[k + 1]};
+        // A malformed/adversarial OBJ can reference vertices that don't
+        // exist (or resolve a negative index below 0): skip the face rather
+        // than read out of bounds (mirrors the Python loader's check).
+        bool in_range = true;
+        for (int c = 0; c < 3; ++c)
+          if (ids[c] < 0 || ids[c] >= nverts) in_range = false;
+        if (!in_range) continue;
         for (int c = 0; c < 3; ++c)
           for (int a = 0; a < 3; ++a)
             tri_verts[(tris * 3 + c) * 3 + a] = verts[ids[c] * 3 + a];

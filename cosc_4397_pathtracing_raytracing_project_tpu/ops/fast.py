@@ -53,6 +53,7 @@ class _Best(NamedTuple):
     nz: jnp.ndarray
     mat: jnp.ndarray  # int32 material id
     miss: jnp.ndarray  # bool
+    outside: jnp.ndarray  # bool: hit from outside the primitive (for ior)
 
 
 def _rsqrt(x):
@@ -132,7 +133,7 @@ def _cube_test(iv, it, ox, oy, oz, dx, dy, dz):
 
     t_world = s - _BACKOFF * rinv
     nx, ny, nz = _world_normal(it, nox, noy, noz)
-    return t_world, hit, nx, ny, nz
+    return t_world, hit, nx, ny, nz, outside
 
 
 def _sphere_test(iv, it, ox, oy, oz, dx, dy, dz):
@@ -159,7 +160,7 @@ def _sphere_test(iv, it, ox, oy, oz, dx, dy, dz):
     pnz = qoz + t_world * qdz
     nx, ny, nz = _world_normal(it, pnx, pny, pnz)
     flip = jnp.where(outside, 1.0, -1.0)
-    return t_world, hit, nx * flip, ny * flip, nz * flip
+    return t_world, hit, nx * flip, ny * flip, nz * flip, outside
 
 
 def intersect_unrolled(scene: Scene, ox, oy, oz, dx, dy, dz) -> _Best:
@@ -172,9 +173,10 @@ def intersect_unrolled(scene: Scene, ox, oy, oz, dx, dy, dz) -> _Best:
         nz=jnp.zeros((n,)),
         mat=jnp.zeros((n,), jnp.int32),
         miss=jnp.ones((n,), bool),
+        outside=jnp.ones((n,), bool),
     )
 
-    def consider(best, t, hit, nx, ny, nz, mat_id):
+    def consider(best, t, hit, nx, ny, nz, mat_id, outside):
         better = hit & (t > 0) & (t < best.t)
         return _Best(
             t=jnp.where(better, t, best.t),
@@ -183,22 +185,27 @@ def intersect_unrolled(scene: Scene, ox, oy, oz, dx, dy, dz) -> _Best:
             nz=jnp.where(better, nz, best.nz),
             mat=jnp.where(better, mat_id, best.mat),
             miss=best.miss & ~better,
+            outside=(best.outside & ~better) | (outside & better),
         )
 
     for k in range(scene.cubes.count):
-        t, hit, nx, ny, nz = _cube_test(
+        t, hit, nx, ny, nz, outside = _cube_test(
             scene.cubes.inv_transform[k],
             scene.cubes.inv_transpose[k],
             ox, oy, oz, dx, dy, dz,
         )
-        best = consider(best, t, hit, nx, ny, nz, scene.cubes.material_id[k])
+        best = consider(
+            best, t, hit, nx, ny, nz, scene.cubes.material_id[k], outside
+        )
     for k in range(scene.spheres.count):
-        t, hit, nx, ny, nz = _sphere_test(
+        t, hit, nx, ny, nz, outside = _sphere_test(
             scene.spheres.inv_transform[k],
             scene.spheres.inv_transpose[k],
             ox, oy, oz, dx, dy, dz,
         )
-        best = consider(best, t, hit, nx, ny, nz, scene.spheres.material_id[k])
+        best = consider(
+            best, t, hit, nx, ny, nz, scene.spheres.material_id[k], outside
+        )
     return best
 
 
@@ -208,7 +215,7 @@ def _select_material(materials, mat_id):
     m = materials.color.shape[0]
     fields = dict(
         cr=0.0, cg=0.0, cb=0.0, sr=0.0, sg=0.0, sb=0.0, refl=0.0, refr=0.0,
-        emit=0.0,
+        emit=0.0, ior=0.0,
     )
     out = {k: jnp.zeros_like(mat_id, dtype=jnp.float32) for k in fields}
     for i in range(m):
@@ -222,6 +229,7 @@ def _select_material(materials, mat_id):
         out["refl"] = jnp.where(sel, materials.reflectivity[i], out["refl"])
         out["refr"] = jnp.where(sel, materials.refractive[i], out["refr"])
         out["emit"] = jnp.where(sel, materials.emittance[i], out["emit"])
+        out["ior"] = jnp.where(sel, materials.ior[i], out["ior"])
     return out
 
 
@@ -401,10 +409,57 @@ def shade_soa(carry, best: _Best, u, materials, depth, config):
     tint_g = jnp.where(spec, mat["sg"], mat["cg"])
     tint_b = jnp.where(spec, mat["sb"], mat["cb"])
 
-    # hit point = o + t·d (exact algebra, see module docstring)
-    hx = ox + best.t * dx + nx * _ORIGIN_OFFSET
-    hy = oy + best.t * dy + ny * _ORIGIN_OFFSET
-    hz = oz + best.t * dz + nz * _ORIGIN_OFFSET
+    # Extension: dielectric refraction, componentwise (same semantics as
+    # ops.shade.shade_step's enable_refraction branch — Snell + Schlick
+    # Fresnel, `pathtrace.cu:244-248` schlickFresnel is defined-but-unused
+    # in the reference). Statically gated: off costs nothing.
+    push_through = None
+    if getattr(config, "enable_refraction", False):
+        is_glass = (mat["ior"] > 0.0) & (mat["refr"] > 0.0)
+        cos_i = jnp.clip(-(dx * nx + dy * ny + dz * nz), 0.0, 1.0)
+        n1 = jnp.where(best.outside, 1.0, mat["ior"])
+        n2 = jnp.where(best.outside, mat["ior"], 1.0)
+        eta = n1 / jnp.maximum(n2, 1e-6)
+        sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+        tir = sin2_t > 1.0
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+        r0 = ((n1 - n2) / (n1 + n2)) ** 2
+        fres = r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
+        coef = eta * cos_i - cos_t
+        fx_ = eta * dx + coef * nx
+        fy_ = eta * dy + coef * ny
+        fz_ = eta * dz + coef * nz
+        rn_ = _rsqrt(jnp.maximum(fx_ * fx_ + fy_ * fy_ + fz_ * fz_, 1e-20))
+        transmit = is_glass & ~tir & (u_branch >= fres)
+        glass_mask = act & is_glass
+        # transmit → refracted dir; reflect (incl. TIR) → pure mirror r
+        gdx = jnp.where(transmit, fx_ * rn_, rx)
+        gdy = jnp.where(transmit, fy_ * rn_, ry)
+        gdz = jnp.where(transmit, fz_ * rn_, rz)
+        new_dx = jnp.where(glass_mask, gdx, new_dx)
+        new_dy = jnp.where(glass_mask, gdy, new_dy)
+        new_dz = jnp.where(glass_mask, gdz, new_dz)
+        tint_r = jnp.where(
+            glass_mask, jnp.where(transmit, mat["cr"], mat["sr"]), tint_r
+        )
+        tint_g = jnp.where(
+            glass_mask, jnp.where(transmit, mat["cg"], mat["sg"]), tint_g
+        )
+        tint_b = jnp.where(
+            glass_mask, jnp.where(transmit, mat["cb"], mat["sb"]), tint_b
+        )
+        push_through = glass_mask & transmit
+
+    # hit point = o + t·d (exact algebra, see module docstring); a
+    # transmitted ray steps through the interface instead of off it
+    off = (
+        _ORIGIN_OFFSET
+        if push_through is None
+        else jnp.where(push_through, -_ORIGIN_OFFSET, _ORIGIN_OFFSET)
+    )
+    hx = ox + best.t * dx + nx * off
+    hy = oy + best.t * dy + ny * off
+    hz = oz + best.t * dz + nz * off
 
     cr = jnp.where(act, cr * tint_r, cr)
     cg = jnp.where(act, cg * tint_g, cg)
@@ -538,6 +593,7 @@ def trace_sample_mesh(
             nx=nx, ny=ny, nz=nz,
             mat=mat_f.astype(jnp.int32),
             miss=~tri_hit,
+            outside=jnp.ones_like(tri_hit),  # triangles are thin surfaces
         )
         if has_analytic:
             a = intersect_unrolled(scene, ox, oy, oz, dx, dy, dz)
@@ -549,6 +605,7 @@ def trace_sample_mesh(
                 nz=jnp.where(a_wins, a.nz, best.nz),
                 mat=jnp.where(a_wins, a.mat, best.mat),
                 miss=best.miss & ~a_wins,
+                outside=jnp.where(a_wins, a.outside, best.outside),
             )
         return best
 
@@ -561,6 +618,12 @@ def trace_sample_mesh(
         (ox, oy, oz, dx, dy, dz, _cr, _cg, _cb, bounces, *_rest) = carry
         key = rng_ops.bounce_key(base_key, iteration, depth)
         u = jax.random.uniform(key, (rng_ops.NUM_LANES, n), jnp.float32)
+        if do_sort:
+            # Key every pixel's RNG stream by its PIXEL id, not its post-sort
+            # lane position — the sort must be image-invariant (the project's
+            # pixel-keyed-RNG invariant; models/wavefront.py gathers the same
+            # way for exactly this reason).
+            u = jnp.take(u, pixel, axis=1)
         # Dead-lane culling changes what dead lanes "see" (miss instead of a
         # stale hit) — irrelevant in light_only (dead lanes accumulate
         # nothing) but it would re-trigger legacy's sky re-multiplication,

@@ -48,6 +48,8 @@ _ORIGIN_OFFSET = 1e-3
 
 # geometry record layout in the packed SMEM table (floats per geom)
 _GF = 21  # inv(12) + invT(9); material id packed separately
+# material record: color(3) spec_color(3) refl refr emit ior
+_MF = 10
 
 
 def _recip(x):
@@ -130,15 +132,19 @@ def _pack_scene(scene: Scene) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
             m.reflectivity[:, None],
             m.refractive[:, None],
             m.emittance[:, None],
+            m.ior[:, None],
         ],
         axis=1,
     ).reshape(-1)
     return geo, geo_mat, mats
 
 
-ABLATION = ""  # perf diagnosis only: 'noprng' | 'nointersect' | 'noscatter'
+# Perf-diagnosis knobs. Both are forwarded into the jit cache key (static
+# args of _render_samples_impl), so flipping them mid-process retraces
+# correctly — no stale-executable trap.
+ABLATION = ""  # '' | 'noprng' | 'nointersect' | 'noscatter'
 # Sample chains interleaved per loop iteration (2 overlaps independent
-# dependency chains; jit does NOT key on this — set before first call only).
+# dependency chains at bounce granularity).
 INTERLEAVE = 1
 
 
@@ -156,12 +162,20 @@ def _make_kernel(
     width: int,
     height: int,
     hw_prng: bool = True,
+    ablation: str = "",
+    interleave: int = 1,
+    enable_refraction: bool = False,
 ):
     k_total = num_cubes + num_spheres
 
     def kernel(scal_ref, cam_ref, geo_ref, gmat_ref, mat_ref, px_ref, py_ref,
                or_ref, og_ref, ob_ref):
-        tile = pl.program_id(0)
+        # tile_base keeps RNG streams tied to the *global* tile decomposition
+        # when a dp shard renders a pixel slice (parallel.shard): local tile t
+        # of the shard at pixel_offset seeds exactly like global tile
+        # pixel_offset//TILE + t, so a TILE-aligned sharded render is
+        # bit-identical to the single-device one.
+        tile = pl.program_id(0) + scal_ref[2]
         seed = scal_ref[0]
         iter_base = scal_ref[1]
 
@@ -197,7 +211,8 @@ def _make_kernel(
             geo_rows.append((iv, it))
         gmat = [gmat_ref[k] for k in range(k_total)]
         mat_rows = [
-            [mat_ref[i * 9 + j] for j in range(9)] for i in range(num_materials)
+            [mat_ref[i * _MF + j] for j in range(_MF)]
+            for i in range(num_materials)
         ]
 
         def init_sample(iteration):
@@ -235,7 +250,7 @@ def _make_kernel(
             def bounce_body(depth, st):
                 (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                  rad_r, rad_g, rad_b) = st
-                if ABLATION == "noprng":
+                if ablation == "noprng":
                     u_rr = u_branch = u_a = u_b = u_c = px * 0.001
                 else:
                     seed_prng(_mix(seed, iteration, depth, tile))
@@ -252,6 +267,8 @@ def _make_kernel(
                 best_nz = jnp.zeros(shape, jnp.float32)
                 best_mat = jnp.zeros(shape, jnp.int32)
                 best_k = jnp.zeros(shape, jnp.int32)
+                if enable_refraction:
+                    best_out = jnp.zeros(shape, jnp.int32) == 0  # all True
 
                 # The object-space direction q_d = M⁻¹·d is left unnormalized,
                 # which makes the slab/quadratic parameter s *directly* the
@@ -259,7 +276,7 @@ def _make_kernel(
                 # across primitives with no per-geom normalization. The
                 # reference's 1e-4 object-space backoff becomes a constant
                 # world-space backoff (equivalent in purpose, cheaper).
-                for k in range(0 if ABLATION == "nointersect" else k_total):
+                for k in range(0 if ablation == "nointersect" else k_total):
                     iv, it = geo_rows[k]
                     qox = iv[0] * ox + iv[1] * oy + iv[2] * oz + iv[3]
                     qoy = iv[4] * ox + iv[5] * oy + iv[6] * oz + iv[7]
@@ -340,11 +357,14 @@ def _make_kernel(
                     best_nz = jnp.where(better, noz, best_nz)
                     best_mat = jnp.where(better, gmat[k], best_mat)
                     best_k = jnp.where(better, k, best_k)
+                    if enable_refraction:
+                        hit_out = outside if k < num_cubes else both_pos
+                        best_out = (best_out & ~better) | (hit_out & better)
 
                 # winner-only normal transform: select the winner's
                 # inverse-transpose entries, one matvec + normalize
                 w_it = [jnp.zeros(shape, jnp.float32) for _ in range(9)]
-                for k in range(0 if ABLATION == "nointersect" else k_total):
+                for k in range(0 if ablation == "nointersect" else k_total):
                     sel = best_k == k
                     it = geo_rows[k][1]
                     for j in range(9):
@@ -388,6 +408,8 @@ def _make_kernel(
                 m_refl = jnp.zeros(shape, jnp.float32)
                 m_refr = jnp.zeros(shape, jnp.float32)
                 m_emit = jnp.zeros(shape, jnp.float32)
+                if enable_refraction:
+                    m_ior = jnp.zeros(shape, jnp.float32)
                 for i in range(num_materials):
                     sel = best_mat == i
                     row = mat_rows[i]
@@ -400,6 +422,8 @@ def _make_kernel(
                     m_refl = jnp.where(sel, row[6], m_refl)
                     m_refr = jnp.where(sel, row[7], m_refr)
                     m_emit = jnp.where(sel, row[8], m_emit)
+                    if enable_refraction:
+                        m_ior = jnp.where(sel, row[9], m_ior)
 
                 # ── emissive termination ──
                 emissive = m_emit > 0.0
@@ -429,7 +453,7 @@ def _make_kernel(
                     act = act & ~rr_kill
 
                 # ── scatter ──
-                if ABLATION == "noscatter":
+                if ablation == "noscatter":
                     bounces = jnp.where(act, bounces - 1, jnp.zeros_like(bounces))
                     ox = ox + u_a * 0.001  # keep u's live
                     return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
@@ -491,9 +515,49 @@ def _make_kernel(
                 t_g = jnp.where(spec, m_sg, m_cg)
                 t_b = jnp.where(spec, m_sb, m_cb)
 
-                hx = ox + best_t * dx + nx * _ORIGIN_OFFSET
-                hy = oy + best_t * dy + ny * _ORIGIN_OFFSET
-                hz = oz + best_t * dz + nz * _ORIGIN_OFFSET
+                if enable_refraction:
+                    # dielectric transmission (Snell + Schlick), identical
+                    # semantics to ops.fast.shade_soa / ops.shade.shade_step
+                    is_glass = (m_ior > 0.0) & (m_refr > 0.0)
+                    cos_i = jnp.clip(-ddn, 0.0, 1.0)
+                    n1 = jnp.where(best_out, 1.0, m_ior)
+                    n2 = jnp.where(best_out, m_ior, 1.0)
+                    eta = n1 * _recip(jnp.maximum(n2, 1e-6))
+                    sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+                    tir = sin2_t > 1.0
+                    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+                    r0 = (n1 - n2) * _recip(n1 + n2)
+                    r0 = r0 * r0
+                    omc = 1.0 - cos_i
+                    omc2 = omc * omc
+                    fres = r0 + (1.0 - r0) * omc2 * omc2 * omc
+                    coef = eta * cos_i - cos_t
+                    fxr = eta * dx + coef * nx
+                    fyr = eta * dy + coef * ny
+                    fzr = eta * dz + coef * nz
+                    rnr = jax.lax.rsqrt(
+                        jnp.maximum(fxr * fxr + fyr * fyr + fzr * fzr, 1e-20)
+                    )
+                    transmit = is_glass & ~tir & (u_branch >= fres)
+                    glass = act & is_glass
+                    gdx = jnp.where(transmit, fxr * rnr, rx)
+                    gdy = jnp.where(transmit, fyr * rnr, ry)
+                    gdz = jnp.where(transmit, fzr * rnr, rz)
+                    ndx = jnp.where(glass, gdx, ndx)
+                    ndy = jnp.where(glass, gdy, ndy)
+                    ndz = jnp.where(glass, gdz, ndz)
+                    t_r = jnp.where(glass, jnp.where(transmit, m_cr, m_sr), t_r)
+                    t_g = jnp.where(glass, jnp.where(transmit, m_cg, m_sg), t_g)
+                    t_b = jnp.where(glass, jnp.where(transmit, m_cb, m_sb), t_b)
+                    off = jnp.where(
+                        glass & transmit, -_ORIGIN_OFFSET, _ORIGIN_OFFSET
+                    )
+                else:
+                    off = _ORIGIN_OFFSET
+
+                hx = ox + best_t * dx + nx * off
+                hy = oy + best_t * dy + ny * off
+                hz = oz + best_t * dz + nz * off
 
                 cr = jnp.where(act, cr * t_r, cr)
                 cg = jnp.where(act, cg * t_g, cg)
@@ -548,7 +612,7 @@ def _make_kernel(
             jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.float32),
         )
-        if INTERLEAVE == 2 and num_samples % 2 == 0:
+        if interleave == 2 and num_samples % 2 == 0:
             acc = jax.lax.fori_loop(0, num_samples // 2, pair_body, acc)
         else:
             acc = jax.lax.fori_loop(0, num_samples, sample_body, acc)
@@ -565,10 +629,6 @@ def supports(scene: Scene) -> bool:
     return fast.supports(scene)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "num_samples", "interpret"),
-)
 def render_samples(
     scene: Scene,
     config,
@@ -576,28 +636,68 @@ def render_samples(
     iter_base: jnp.ndarray,
     num_samples: int,
     interpret: bool = False,
+    pixel_offset=0,
+    num_pixels=None,
 ) -> jnp.ndarray:
-    """Render `num_samples` full-frame samples in one kernel dispatch.
+    """Render `num_samples` samples in one kernel dispatch (public wrapper;
+    forwards the module-level ABLATION/INTERLEAVE knobs as jit-static args so
+    the executable cache keys on them)."""
+    return _render_samples_impl(
+        scene, config, seed, iter_base, num_samples, interpret,
+        pixel_offset, num_pixels, ABLATION, INTERLEAVE,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "num_samples", "interpret", "num_pixels",
+        "ablation", "interleave",
+    ),
+)
+def _render_samples_impl(
+    scene: Scene,
+    config,
+    seed: jnp.ndarray,
+    iter_base: jnp.ndarray,
+    num_samples: int,
+    interpret: bool = False,
+    pixel_offset=0,
+    num_pixels=None,
+    ablation: str = "",
+    interleave: int = 1,
+) -> jnp.ndarray:
+    """Render `num_samples` samples in one kernel dispatch.
 
     Returns the [N, 3] radiance *sum* over the batch (caller adds to accum).
     `seed`/`iter_base` are traced int32 scalars, so advancing iterations never
-    recompiles."""
+    recompiles. `pixel_offset` (traced) + `num_pixels` (static) select a
+    contiguous slice of the flat pixel array — the multi-chip dp tiling
+    (parallel.shard.make_sharded_pallas_step)."""
     cam = scene.camera
     w, h = cam.resolution
-    n = w * h
+    n = num_pixels if num_pixels is not None else w * h
 
     n_pad = ((n + TILE - 1) // TILE) * TILE
     rows = n_pad // LANES
 
-    # pixel coordinates, padded; iota avoids integer div/mod on device
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    px = col.reshape(-1).astype(jnp.float32)
-    py = row.reshape(-1).astype(jnp.float32)
-    pad = n_pad - n
-    if pad:
-        px = jnp.concatenate([px, jnp.zeros((pad,), jnp.float32)])
-        py = jnp.concatenate([py, jnp.zeros((pad,), jnp.float32)])
+    if num_pixels is None and isinstance(pixel_offset, int) and pixel_offset == 0:
+        # full frame: iota avoids integer div/mod on device
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        px = col.reshape(-1).astype(jnp.float32)
+        py = row.reshape(-1).astype(jnp.float32)
+        pad = n_pad - n
+        if pad:
+            px = jnp.concatenate([px, jnp.zeros((pad,), jnp.float32)])
+            py = jnp.concatenate([py, jnp.zeros((pad,), jnp.float32)])
+        tile_base = jnp.int32(0)
+    else:
+        off = jnp.asarray(pixel_offset, jnp.int32)
+        idx = jnp.minimum(off + jnp.arange(n_pad, dtype=jnp.int32), w * h - 1)
+        px = (idx % w).astype(jnp.float32)
+        py = (idx // w).astype(jnp.float32)
+        tile_base = off // jnp.int32(TILE)
     px = px.reshape(rows, LANES)
     py = py.reshape(rows, LANES)
 
@@ -606,7 +706,11 @@ def render_samples(
         [cam.position, cam.view, cam.right, cam.up, cam.pixel_length]
     )
     scal = jnp.stack(
-        [jnp.asarray(seed, jnp.int32), jnp.asarray(iter_base, jnp.int32)]
+        [
+            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(iter_base, jnp.int32),
+            jnp.asarray(tile_base, jnp.int32),
+        ]
     )
 
     kernel = _make_kernel(
@@ -622,6 +726,9 @@ def render_samples(
         width=w,
         height=h,
         hw_prng=not interpret,  # pltpu.prng_* has no CPU interpret lowering
+        ablation=ablation,
+        interleave=interleave,
+        enable_refraction=getattr(config, "enable_refraction", False),
     )
 
     grid = n_pad // TILE

@@ -96,6 +96,89 @@ def render_chunk_sharded(
     )
 
 
+def render_chunk_sharded_pallas(
+    scene: Scene,
+    state: RenderState,
+    config: RenderConfig,
+    num_samples: int,
+    mesh: Mesh,
+    interpret: bool = False,
+) -> RenderState:
+    """Multi-chip megakernel step: each dp rank runs the single-dispatch
+    Pallas megakernel (ops.pallas.megakernel) on its contiguous pixel slice;
+    sp ranks split the sample batch and combine with one psum. When the
+    per-rank pixel count is TILE-aligned, the result is bit-identical to the
+    single-device megakernel (tile-base RNG alignment, see render_samples)."""
+    from ..ops.pallas import megakernel
+
+    n_total = scene.camera.pixel_count
+    n_dp = mesh.shape[PIXEL_AXIS]
+    n_sp = mesh.shape[SAMPLE_AXIS]
+    if n_total % n_dp != 0:
+        raise ValueError(f"pixel count {n_total} not divisible by dp={n_dp}")
+    if num_samples % n_sp != 0:
+        raise ValueError(f"num_samples {num_samples} not divisible by sp={n_sp}")
+    local_pixels = n_total // n_dp
+    local_samples = num_samples // n_sp
+
+    def body(scene, accum_local, iteration, key):
+        dp = jax.lax.axis_index(PIXEL_AXIS)
+        sp = jax.lax.axis_index(SAMPLE_AXIS)
+        offset = dp * jnp.int32(local_pixels)
+        # same seed derivation as engine.make_pallas_step — per-tile streams
+        # already decorrelate via the global tile id
+        seed = (key.reshape(-1)[-1].astype(jnp.uint32)).astype(jnp.int32)
+        iter_base = iteration + 1 + sp * jnp.int32(local_samples)
+        rad = megakernel.render_samples(
+            scene,
+            config,
+            seed,
+            iter_base,
+            local_samples,
+            interpret=interpret,
+            pixel_offset=offset,
+            num_pixels=local_pixels,
+        )
+        rad = jax.lax.psum(rad, SAMPLE_AXIS)
+        return accum_local + rad
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(PIXEL_AXIS, None), P(), P()),
+        out_specs=P(PIXEL_AXIS, None),
+        check_vma=False,
+    )
+    from jax.sharding import NamedSharding
+
+    scene = jax.device_put(scene, NamedSharding(mesh, P()))
+    accum_in = jax.device_put(state.accum, NamedSharding(mesh, P(PIXEL_AXIS, None)))
+    iteration = jax.device_put(state.iteration, NamedSharding(mesh, P()))
+    key = jax.device_put(state.key, NamedSharding(mesh, P()))
+    accum = sharded(scene, accum_in, iteration, key)
+    return state.replace(
+        accum=accum, iteration=state.iteration + jnp.int32(num_samples)
+    )
+
+
+def make_sharded_pallas_step(
+    scene: Scene,
+    config: RenderConfig,
+    num_samples: int,
+    mesh: Mesh,
+    interpret: bool = False,
+):
+    """jit-compiled closure over the static pieces (megakernel pipeline)."""
+    fn = partial(
+        render_chunk_sharded_pallas,
+        config=config,
+        num_samples=num_samples,
+        mesh=mesh,
+        interpret=interpret,
+    )
+    return jax.jit(lambda scene, state: fn(scene, state))
+
+
 def make_sharded_step(
     scene: Scene,
     config: RenderConfig,

@@ -50,7 +50,8 @@ class RenderConfig:
     gather_mode: str = "light_only"
     sky_strength: float = 0.0  # environment strength in light_only mode
     # Extension: dielectric refraction via REFRIOR (the reference parses it
-    # but never refracts). Forces the reference pipeline.
+    # but never refracts). Supported by every pipeline (reference, fast,
+    # megakernel); statically gated, so disabling it costs nothing.
     enable_refraction: bool = False
     # Mesh pipeline: re-sort the wavefront by (origin cell, direction octant)
     # each bounce so tile-level cluster culling survives incoherent bounces.
@@ -62,8 +63,6 @@ class RenderConfig:
     pipeline: str = "auto"
 
     def resolve_pipeline(self, scene: Scene) -> str:
-        if self.enable_refraction:
-            return "reference"
         if self.pipeline != "auto":
             return self.pipeline
         from ..ops import fast as fast_mod
@@ -335,6 +334,15 @@ class Renderer:
     @property
     def iteration(self) -> int:
         return self._host_iteration
+
+    def reset(self) -> "Renderer":
+        """Clear accumulation AND the host-side iteration mirror + metrics
+        (resetting only device state desynchronizes rays/s and PSNR
+        normalization — every sample-count consumer reads _host_iteration)."""
+        self.state = self.state.reset()
+        self._host_iteration = 0
+        self.metrics = MetricsTracker(self.scene.camera.pixel_count)
+        return self
 
     def step(self, num_samples: Optional[int] = None, sync: bool = True) -> int:
         """Run a batch of samples; returns the new iteration count.

@@ -62,7 +62,9 @@ tick();
 class PreviewServer:
     """Drives a Renderer in a background thread and serves frames + controls."""
 
-    def __init__(self, renderer: Renderer, lookat=None, host="0.0.0.0", port=8634):
+    def __init__(self, renderer: Renderer, lookat=None, host="127.0.0.1", port=8634):
+        # host defaults to loopback: /control mutates renderer state and
+        # writes PNGs to the CWD with no auth — binding 0.0.0.0 is opt-in.
         self.renderer = renderer
         self.controls = OrbitCameraController.from_camera(
             renderer.scene.camera,
@@ -146,6 +148,20 @@ class PreviewServer:
                     self._send(200, "text/html", _PAGE.encode())
 
             def do_POST(self):
+                # CSRF guard: /control is state-mutating, so reject
+                # cross-origin browser posts (any webpage can POST to
+                # localhost; the viewer page itself sends same-origin).
+                origin = self.headers.get("Origin")
+                if origin is not None:
+                    from urllib.parse import urlparse
+
+                    if urlparse(origin).hostname not in (
+                        "localhost",
+                        "127.0.0.1",
+                        server.host,
+                    ):
+                        self._send(403, "application/json", b'{"error":"origin"}')
+                        return
                 length = int(self.headers.get("Content-Length", 0))
                 msg = json.loads(self.rfile.read(length) or b"{}")
                 server.handle_control(msg)

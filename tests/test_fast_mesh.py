@@ -71,6 +71,20 @@ def test_supports_mesh(tri_scene):
     assert not fast.supports(tri_scene)
 
 
+def test_mesh_ray_sort_image_invariant(tri_scene):
+    """Per-bounce ray sorting must not change the image: RNG is keyed by
+    pixel id (gathered through the permutation), never by lane position."""
+    import dataclasses
+
+    cfg_sorted = RenderConfig(trace_depth=4, sky_strength=0.5, mesh_ray_sort=True)
+    cfg_unsorted = dataclasses.replace(cfg_sorted, mesh_ray_sort=False)
+    cluster = make_mesh_intersector(tri_scene, interpret=True)
+    key = jax.random.PRNGKey(7)
+    a = fast.trace_sample_mesh(tri_scene, cfg_sorted, key, jnp.int32(1), cluster)
+    b = fast.trace_sample_mesh(tri_scene, cfg_unsorted, key, jnp.int32(1), cluster)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
 def test_mesh_pipeline_matches_reference(tri_scene):
     cfg = RenderConfig(trace_depth=4, sky_strength=0.5)
     cluster = make_mesh_intersector(tri_scene, interpret=True)

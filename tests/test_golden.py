@@ -44,6 +44,39 @@ def test_region_matches_golden(golden_render, region):
     np.testing.assert_allclose(got, want, rtol=0.15, atol=0.02)
 
 
+def test_full_image_psnr_vs_golden():
+    """Full-image PSNR gate against the upstream golden (not just region
+    means): render 160² (800/160 = 5, so the golden downsamples by exact 5×5
+    block mean in linear space — both images are box-filtered estimates of
+    the same radiance) and require PSNR above the 200-spp Monte Carlo noise
+    floor minus margin. Measured on TPU: 26.96 dB @ 200 spp (pure-MC slope:
+    23.9 @ 100, 29.9 @ 400); converged evidence: 39.4 dB @ 100k spp, limited
+    by the golden's own 5000-spp noise."""
+    import math
+    import os
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.io.png import read_png
+
+    here = os.path.dirname(__file__)
+    golden = (
+        read_png(os.path.join(here, "data", "REFERENCE_cornell.5000samp.png")).astype(
+            np.float32
+        )
+        / 255.0
+    )
+    g160 = golden.reshape(160, 5, 160, 5, 3).mean(axis=(1, 3))
+    path = os.path.join(here, "..", "scenes", "cornell_golden.txt")
+    text = open(path).read().replace("RES         800 800", "RES         160 160")
+    r = Renderer(
+        parse_scene(text), RenderConfig(samples_per_launch=50, antialias=True)
+    )
+    r.render(200)
+    img = np.clip(r.linear_image(), 0, 1)[:, ::-1, :]
+    mse = float(((img - g160) ** 2).mean())
+    psnr = 10 * math.log10(1.0 / mse)
+    assert psnr > 25.5, f"full-image PSNR {psnr:.2f} dB below gate"
+
+
 def test_estimator_modes_differ(golden_render):
     """throughput mode (reference-code parity) is far brighter than the
     correct estimator — the two must not be silently conflated."""

@@ -86,6 +86,43 @@ def test_output_sharding_layout(small_scene):
     assert shard_shapes == {(64 * 64 // 8, 3)}
 
 
+def test_sharded_megakernel_matches_single_device():
+    """The flagship Pallas megakernel inside shard_map: TILE-aligned dp
+    shards reproduce the single-device megakernel image (global tile-base
+    RNG alignment, see megakernel.render_samples); sp ranks only change
+    float-add order. sp=1 must be bit-identical."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import megakernel
+    from cosc_4397_pathtracing_raytracing_project_tpu.parallel import (
+        make_sharded_pallas_step,
+    )
+
+    desc = parse_scene(CORNELL_SMALL)
+    desc.camera.resolution = (128, 64)  # 8192 px: dp=4 → exactly 1 TILE/shard
+    scene = Scene.from_desc(desc)
+    cfg = RenderConfig(trace_depth=4)
+    state = RenderState.create(scene.camera.pixel_count, seed=0)
+    seed = (state.key.reshape(-1)[-1].astype(jnp.uint32)).astype(jnp.int32)
+    num_samples = 4
+
+    single = np.asarray(
+        megakernel.render_samples(
+            scene, cfg, seed, state.iteration + 1, num_samples, interpret=True
+        )
+    )
+    assert np.isfinite(single).all() and single.max() > 0
+
+    mesh = make_mesh(8, sample_parallel=2)  # dp=4
+    step = make_sharded_pallas_step(scene, cfg, num_samples, mesh, interpret=True)
+    out = step(scene, state)
+    assert int(out.iteration) == num_samples
+    np.testing.assert_allclose(np.asarray(out.accum), single, rtol=1e-5, atol=1e-6)
+
+    mesh1 = make_mesh(4, sample_parallel=1, devices=jax.devices()[:4])
+    step1 = make_sharded_pallas_step(scene, cfg, num_samples, mesh1, interpret=True)
+    out1 = step1(scene, state)
+    np.testing.assert_array_equal(np.asarray(out1.accum), single)
+
+
 def test_indivisible_configs_raise(small_scene):
     mesh = make_mesh(8, sample_parallel=2)
     state = RenderState.create(small_scene.camera.pixel_count, seed=0)

@@ -72,12 +72,79 @@ def test_glass_transmits_light():
     assert center_on > 4 * max(center_off, 1e-6)
 
 
-def test_refraction_forces_reference_pipeline():
+def test_refraction_supported_on_fast_pipeline():
+    """Refraction no longer forces the slow readable pipeline: the SoA fast
+    path implements the same Snell+Schlick branch (no 57× cliff for one
+    material flag)."""
     desc = parse_scene(GLASS_SCENE)
     from cosc_4397_pathtracing_raytracing_project_tpu.scene import Scene
 
     cfg = RenderConfig(enable_refraction=True)
-    assert cfg.resolve_pipeline(Scene.from_desc(desc)) == "reference"
+    assert cfg.resolve_pipeline(Scene.from_desc(desc)) in ("fast", "pallas")
+
+
+def test_glass_fast_matches_reference_statistics():
+    """fast (shade_soa) and reference (shade_step) glass must agree: same
+    estimator, different RNG layout → statistical comparison."""
+    desc = parse_scene(GLASS_SCENE)
+    ref = Renderer(
+        desc,
+        RenderConfig(
+            samples_per_launch=16, enable_refraction=True, pipeline="reference"
+        ),
+        seed=2,
+    )
+    fast = Renderer(
+        desc,
+        RenderConfig(
+            samples_per_launch=16, enable_refraction=True, pipeline="fast"
+        ),
+        seed=2,
+    )
+    ref.render(64)
+    fast.render(64)
+    a = ref.linear_image()
+    b = fast.linear_image()
+    assert np.isfinite(b).all()
+    # transmitted-light hot spot present in both
+    assert b[20:28, 20:28].mean() > 4 * max(b[2:6, 2:6].mean(), 1e-6)
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-9) < 0.15
+    corr = np.corrcoef(a.mean(-1).ravel(), b.mean(-1).ravel())[0, 1]
+    assert corr > 0.9
+
+
+def test_glass_megakernel_matches_fast():
+    """The megakernel's glass branch (interpret mode) agrees with shade_soa."""
+    import jax.numpy as jnp
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops import fast
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import megakernel
+    from cosc_4397_pathtracing_raytracing_project_tpu.scene import Scene
+
+    desc = parse_scene(GLASS_SCENE)
+    scene = Scene.from_desc(desc)
+    cfg = RenderConfig(enable_refraction=True, trace_depth=6)
+    n_samples = 24
+    acc = megakernel.render_samples(
+        scene, cfg, jnp.int32(7), jnp.int32(1), n_samples, interpret=True
+    )
+    import jax
+
+    key = jax.random.PRNGKey(7)
+    acc_fast = jnp.zeros_like(acc)
+    for i in range(n_samples):
+        acc_fast = acc_fast + fast.trace_sample_fast(
+            scene, cfg, key, jnp.int32(1 + i)
+        )
+    a = np.asarray(acc) / n_samples
+    b = np.asarray(acc_fast) / n_samples
+    assert np.isfinite(a).all()
+    h = w = 48
+    am = a.reshape(h, w, 3)
+    bm = b.reshape(h, w, 3)
+    # same transmitted hot spot, means agree statistically
+    assert am[20:28, 20:28].mean() > 4 * max(am[2:6, 2:6].mean(), 1e-6)
+    assert abs(am.mean() - bm.mean()) / max(bm.mean(), 1e-9) < 0.15
 
 
 def test_refraction_off_preserves_parity_semantics():
