@@ -611,19 +611,15 @@ def trace_sample_mesh(
 
     do_sort = getattr(config, "mesh_ray_sort", True) and not legacy
 
-    def bounce(state, depth):
-        carry, pixel = state
-        if do_sort:
+    def bounce_at(carry, pixel, depth, sort: bool):
+        if sort:
             carry, pixel = sort_rays(carry, pixel)
         (ox, oy, oz, dx, dy, dz, _cr, _cg, _cb, bounces, *_rest) = carry
-        key = rng_ops.bounce_key(base_key, iteration, depth)
-        u = jax.random.uniform(key, (rng_ops.NUM_LANES, n), jnp.float32)
-        if do_sort:
-            # Key every pixel's RNG stream by its PIXEL id, not its post-sort
-            # lane position — the sort must be image-invariant (the project's
-            # pixel-keyed-RNG invariant; models/wavefront.py gathers the same
-            # way for exactly this reason).
-            u = jnp.take(u, pixel, axis=1)
+        # Pixel-keyed hash uniforms: the RNG stream follows the PIXEL id
+        # through any reorder (the project's pixel-keyed-RNG invariant), and
+        # costs no gather — threefry + a [lanes, n] take was ~70 ms/bounce
+        # at 2M rays.
+        u = rng_ops.hash_bounce_uniforms(base_key, iteration, depth, pixel)
         # Dead-lane culling changes what dead lanes "see" (miss instead of a
         # stale hit) — irrelevant in light_only (dead lanes accumulate
         # nothing) but it would re-trigger legacy's sky re-multiplication,
@@ -631,16 +627,29 @@ def trace_sample_mesh(
         # image-invariance also relies on the light_only estimator).
         alive = (bounces > 0) if not legacy else jnp.ones((n,), bool)
         best = intersect_combined(ox, oy, oz, dx, dy, dz, alive)
-        return (shade_soa(carry, best, u, scene.materials, depth, config), pixel), None
+        return shade_soa(carry, best, u, scene.materials, depth, config), pixel
 
-    (carry, pixel), _ = jax.lax.scan(
-        bounce, (carry, pixel), jnp.arange(config.trace_depth, dtype=jnp.int32)
-    )
+    # Primary rays are scanline-coherent already: bounce 0 skips the sort
+    # (one argsort + one [N, 14] row gather saved per sample).
+    carry, pixel = bounce_at(carry, pixel, jnp.int32(0), sort=False)
+
+    def bounce(state, depth):
+        carry, pixel = state
+        return bounce_at(carry, pixel, depth, sort=do_sort), None
+
+    if config.trace_depth > 1:
+        (carry, pixel), _ = jax.lax.scan(
+            bounce,
+            (carry, pixel),
+            jnp.arange(1, config.trace_depth, dtype=jnp.int32),
+        )
     (_, _, _, _, _, _, cr, cg, cb, _, rr_, rg_, rb_) = carry
     if legacy:
         return jnp.stack([cr, cg, cb], axis=-1)
     values = jnp.stack([rr_, rg_, rb_], axis=-1)
     if do_sort:
-        # finalGather: scatter radiance back to pixel order
-        return jnp.zeros((n, 3), jnp.float32).at[pixel].add(values)
+        # finalGather: radiance back to pixel order. `pixel` is a
+        # permutation, so the scatter-add is an inverse-permutation gather
+        # (~200 ms vs ~45 ms at 2M rays: argsort + row take).
+        return jnp.take(values, jnp.argsort(pixel), axis=0)
     return values

@@ -148,6 +148,45 @@ ABLATION = ""  # '' | 'noprng' | 'nointersect' | 'noscatter'
 INTERLEAVE = 1
 
 
+def _static_geom_kinds(scene: Scene):
+    """Static per-geom specialization tags, read from concrete scene arrays.
+
+    Returns a tuple of ('cube'|'sphere', perm) where perm is a 3-tuple
+    (column of the single nonzero in each row of the 3×3 inverse transform)
+    for axis-aligned geoms — translation + scale + any 90°-multiple rotation
+    — or None for a general transform. Axis-aligned geoms skip ~60% of the
+    per-geom transform arithmetic and their cube normals are exact axes.
+
+    Falls back to all-generic when the scene is a tracer (e.g. inside
+    shard_map) — callers on the sharded path precompute kinds outside the
+    trace and pass them through."""
+    kinds = []
+    try:
+        for batch, base in ((scene.cubes, "cube"), (scene.spheres, "sphere")):
+            if batch.count == 0:
+                continue
+            inv = np.asarray(jax.device_get(batch.inv_transform))
+            for k in range(batch.count):
+                m = inv[k, :3, :3]
+                scale = max(float(np.abs(m).max()), 1e-20)
+                perm = []
+                ok = True
+                for r in range(3):
+                    nz = np.nonzero(np.abs(m[r]) > 1e-7 * scale)[0]
+                    if len(nz) != 1:
+                        ok = False
+                        break
+                    perm.append(int(nz[0]))
+                ok = ok and sorted(perm) == [0, 1, 2]
+                kinds.append((base, tuple(perm) if ok else None))
+    except Exception:
+        return tuple(
+            [("cube", None)] * int(scene.cubes.count)
+            + [("sphere", None)] * int(scene.spheres.count)
+        )
+    return tuple(kinds)
+
+
 def _make_kernel(
     *,
     num_cubes: int,
@@ -165,8 +204,13 @@ def _make_kernel(
     ablation: str = "",
     interleave: int = 1,
     enable_refraction: bool = False,
+    geom_kinds: tuple = (),
 ):
     k_total = num_cubes + num_spheres
+    if not geom_kinds:
+        geom_kinds = tuple(
+            [("cube", None)] * num_cubes + [("sphere", None)] * num_spheres
+        )
 
     def kernel(scal_ref, cam_ref, geo_ref, gmat_ref, mat_ref, px_ref, py_ref,
                or_ref, og_ref, ob_ref):
@@ -215,24 +259,28 @@ def _make_kernel(
             for i in range(num_materials)
         ]
 
-        def init_sample(iteration):
+        def raygen(fx, fy):
             # ── raygen (generateRayFromCamera, `pathtrace.cu:270-286`) ──
-            if antialias:
-                seed_prng(_mix(seed, iteration, jnp.int32(0xAA), tile))
-                jx = draw_u01()
-                jy = draw_u01()
-                fx = px + jx
-                fy = py + jy
-            else:
-                fx = px
-                fy = py
             sx = plx * (fx - 0.5 * width)
             sy = ply * (fy - 0.5 * height)
             dx = view[0] - right[0] * sx - up[0] * sy
             dy = view[1] - right[1] * sx - up[1] * sy
             dz = view[2] - right[2] * sx - up[2] * sy
             rn = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-            dx, dy, dz = dx * rn, dy * rn, dz * rn
+            return dx * rn, dy * rn, dz * rn
+
+        # without sub-pixel jitter the primary rays are iteration-invariant:
+        # generate them once per tile, not once per sample
+        base_dir = None if antialias else raygen(px, py)
+
+        def init_sample(iteration):
+            if antialias:
+                seed_prng(_mix(seed, iteration, jnp.int32(0xAA), tile))
+                jx = draw_u01()
+                jy = draw_u01()
+                dx, dy, dz = raygen(px + jx, py + jy)
+            else:
+                dx, dy, dz = base_dir
             ox = jnp.full(shape, pos[0])
             oy = jnp.full(shape, pos[1])
             oz = jnp.full(shape, pos[2])
@@ -251,14 +299,16 @@ def _make_kernel(
                 (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                  rad_r, rad_g, rad_b) = st
                 if ablation == "noprng":
-                    u_rr = u_branch = u_a = u_b = u_c = px * 0.001
+                    u_rr = u_branch = u_a = u_b = px * 0.001
                 else:
                     seed_prng(_mix(seed, iteration, depth, tile))
-                    u_rr = draw_u01()
+                    # pre-RR bounces never consume u_rr: skip the draw (the
+                    # stream is keyed per (seed, iter, depth, tile), so the
+                    # draw count per bounce is free to vary by depth)
+                    u_rr = draw_u01() if depth > rr_start_depth else None
                     u_branch = draw_u01()
                     u_a = draw_u01()
                     u_b = draw_u01()
-                    u_c = draw_u01()
 
                 # ── nearest hit, unrolled over primitives ──
                 best_t = jnp.full(shape, _MISS)
@@ -266,7 +316,6 @@ def _make_kernel(
                 best_ny = jnp.zeros(shape, jnp.float32)
                 best_nz = jnp.zeros(shape, jnp.float32)
                 best_mat = jnp.zeros(shape, jnp.int32)
-                best_k = jnp.zeros(shape, jnp.int32)
                 if enable_refraction:
                     best_out = jnp.zeros(shape, jnp.int32) == 0  # all True
 
@@ -276,14 +325,36 @@ def _make_kernel(
                 # across primitives with no per-geom normalization. The
                 # reference's 1e-4 object-space backoff becomes a constant
                 # world-space backoff (equivalent in purpose, cheaper).
+                #
+                # Normals are produced in WORLD space inside each geom's
+                # block (the winner-select then carries a final-form normal):
+                # axis-aligned geoms (static `perm` kind) read theirs straight
+                # off the face sign / scaled hit point, and only general
+                # transforms pay the inverse-transpose matvec — cheaper than
+                # the old carry-object-normal + 9-select-per-geom winner
+                # transform.
                 for k in range(0 if ablation == "nointersect" else k_total):
                     iv, it = geo_rows[k]
-                    qox = iv[0] * ox + iv[1] * oy + iv[2] * oz + iv[3]
-                    qoy = iv[4] * ox + iv[5] * oy + iv[6] * oz + iv[7]
-                    qoz = iv[8] * ox + iv[9] * oy + iv[10] * oz + iv[11]
-                    qdx = iv[0] * dx + iv[1] * dy + iv[2] * dz
-                    qdy = iv[4] * dx + iv[5] * dy + iv[6] * dz
-                    qdz = iv[8] * dx + iv[9] * dy + iv[10] * dz
+                    kind, perm = geom_kinds[k]
+                    if perm is None:
+                        qox = iv[0] * ox + iv[1] * oy + iv[2] * oz + iv[3]
+                        qoy = iv[4] * ox + iv[5] * oy + iv[6] * oz + iv[7]
+                        qoz = iv[8] * ox + iv[9] * oy + iv[10] * oz + iv[11]
+                        qdx = iv[0] * dx + iv[1] * dy + iv[2] * dz
+                        qdy = iv[4] * dx + iv[5] * dy + iv[6] * dz
+                        qdz = iv[8] * dx + iv[9] * dy + iv[10] * dz
+                    else:
+                        # axis-aligned: one nonzero per row of M⁻¹ (col
+                        # perm[r]) — 6 mul + 3 add instead of 21 ops
+                        pw = (ox, oy, oz)
+                        dw = (dx, dy, dz)
+                        c0, c1, c2 = perm
+                        qox = iv[c0] * pw[c0] + iv[3]
+                        qoy = iv[4 + c1] * pw[c1] + iv[7]
+                        qoz = iv[8 + c2] * pw[c2] + iv[11]
+                        qdx = iv[c0] * dw[c0]
+                        qdy = iv[4 + c1] * dw[c1]
+                        qdz = iv[8 + c2] * dw[c2]
 
                     if k < num_cubes:
                         ix = _recip(qdx)
@@ -323,10 +394,30 @@ def _make_kernel(
                         # in Mosaic — use boolean algebra instead.
                         use_x = (outside & min_is_x) | (~outside & max_is_x)
                         use_y = (outside & min_is_y) | (~outside & max_is_y)
-                        nox = jnp.where(use_x, sgx, 0.0)
-                        noy = jnp.where(use_y, sgy, 0.0)
-                        noz = jnp.where(use_x | use_y, 0.0, sgz)
                         t_world = sparam - _BACKOFF
+                        # world normal = invT · (face axis · sign)
+                        if perm is not None:
+                            # one nonzero per invT column: the face-a normal
+                            # lands on world row perm[a]
+                            inv_p = [perm.index(r) for r in range(3)]
+                            sgs = (sgx, sgy, sgz)
+                            sels = (use_x, use_y, ~(use_x | use_y))
+                            wn = []
+                            for r in range(3):
+                                a = inv_p[r]
+                                wn.append(
+                                    jnp.where(sels[a], sgs[a] * it[r * 3 + a], 0.0)
+                                )
+                            nox, noy, noz = wn
+                        else:
+                            sfx = jnp.where(use_x, 1.0, 0.0)
+                            sfy = jnp.where(use_y, 1.0, 0.0)
+                            gx = sgx * sfx
+                            gy = sgy * sfy
+                            gz = sgz * (1.0 - sfx - sfy)
+                            nox = gx * it[0] + gy * it[1] + gz * it[2]
+                            noy = gx * it[3] + gy * it[4] + gz * it[5]
+                            noz = gx * it[6] + gy * it[7] + gz * it[8]
                     else:
                         nq2 = qdx * qdx + qdy * qdy + qdz * qdz
                         b = qox * qdx + qoy * qdy + qoz * qdz
@@ -344,38 +435,41 @@ def _make_kernel(
                         hit = (disc >= 0) & ~both_neg
                         t_world = sparam - _BACKOFF
                         flip = jnp.where(both_pos, 1.0, -1.0)
-                        nox = (qox + t_world * qdx) * flip
-                        noy = (qoy + t_world * qdy) * flip
-                        noz = (qoz + t_world * qdz) * flip
+                        sx_ = (qox + t_world * qdx) * flip
+                        sy_ = (qoy + t_world * qdy) * flip
+                        sz_ = (qoz + t_world * qdz) * flip
+                        # world normal = invT · n_obj
+                        if perm is not None:
+                            inv_p = [perm.index(r) for r in range(3)]
+                            sv = (sx_, sy_, sz_)
+                            nox = it[0 * 3 + inv_p[0]] * sv[inv_p[0]]
+                            noy = it[1 * 3 + inv_p[1]] * sv[inv_p[1]]
+                            noz = it[2 * 3 + inv_p[2]] * sv[inv_p[2]]
+                        else:
+                            nox = it[0] * sx_ + it[1] * sy_ + it[2] * sz_
+                            noy = it[3] * sx_ + it[4] * sy_ + it[5] * sz_
+                            noz = it[6] * sx_ + it[7] * sy_ + it[8] * sz_
 
-                    # carry the OBJECT-space normal; the inverse-transpose
-                    # transform + normalize runs once for the winner only
                     better = hit & (t_world > 0) & (t_world < best_t)
                     best_t = jnp.where(better, t_world, best_t)
                     best_nx = jnp.where(better, nox, best_nx)
                     best_ny = jnp.where(better, noy, best_ny)
                     best_nz = jnp.where(better, noz, best_nz)
                     best_mat = jnp.where(better, gmat[k], best_mat)
-                    best_k = jnp.where(better, k, best_k)
                     if enable_refraction:
                         hit_out = outside if k < num_cubes else both_pos
                         best_out = (best_out & ~better) | (hit_out & better)
 
-                # winner-only normal transform: select the winner's
-                # inverse-transpose entries, one matvec + normalize
-                w_it = [jnp.zeros(shape, jnp.float32) for _ in range(9)]
-                for k in range(0 if ablation == "nointersect" else k_total):
-                    sel = best_k == k
-                    it = geo_rows[k][1]
-                    for j in range(9):
-                        w_it[j] = jnp.where(sel, it[j], w_it[j])
-                wx = w_it[0] * best_nx + w_it[1] * best_ny + w_it[2] * best_nz
-                wy = w_it[3] * best_nx + w_it[4] * best_ny + w_it[5] * best_nz
-                wz = w_it[6] * best_nx + w_it[7] * best_ny + w_it[8] * best_nz
-                rw = jax.lax.rsqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-30))
-                best_nx = wx * rw
-                best_ny = wy * rw
-                best_nz = wz * rw
+                # winner normal is already world-space: one normalize
+                rw = jax.lax.rsqrt(
+                    jnp.maximum(
+                        best_nx * best_nx + best_ny * best_ny + best_nz * best_nz,
+                        1e-30,
+                    )
+                )
+                best_nx = best_nx * rw
+                best_ny = best_ny * rw
+                best_nz = best_nz * rw
 
                 missed = best_t >= _MISS
                 alive = bounces > 0
@@ -481,17 +575,22 @@ def _make_kernel(
                     bz = vx * ty - vy * tx
                     return tx, ty, tz, bx, by, bz
 
+                # One azimuth angle serves both branches: a lane is either
+                # specular or diffuse, never both, so sharing cos/sin(2π·u_b)
+                # is statistically identical and saves a sin+cos+draw on
+                # every lane.
+                ph2 = 2.0 * jnp.float32(_PI) * u_b
+                cp2 = jnp.cos(ph2)
+                sp2 = jnp.sin(ph2)
+
                 tx, ty, tz, bxv, byv, bzv = frame(rx, ry, rz)
                 ang = rough * u_a * jnp.float32(_PI * 0.5)
                 sa = jnp.sin(ang)
                 ca = jnp.cos(ang)
-                ph = 2.0 * jnp.float32(_PI) * u_c
-                cps = jnp.cos(ph)
-                sps = jnp.sin(ph)
-                # (t, r, b) is orthonormal and (sa·cps, ca, sa·sps) is unit, so
+                # (t, r, b) is orthonormal and (sa·cp2, ca, sa·sp2) is unit, so
                 # the combined direction is already unit — no renormalize.
-                sacps = sa * cps
-                sasps = sa * sps
+                sacps = sa * cp2
+                sasps = sa * sp2
                 sdx = tx * sacps + rx * ca + bxv * sasps
                 sdy = ty * sacps + ry * ca + byv * sasps
                 sdz = tz * sacps + rz * ca + bzv * sasps
@@ -499,9 +598,6 @@ def _make_kernel(
                 tx2, ty2, tz2, bx2, by2, bz2 = frame(nx, ny, nz)
                 st_ = jnp.sqrt(u_a)
                 ct_ = jnp.sqrt(jnp.maximum(1.0 - u_a, 0.0))
-                ph2 = 2.0 * jnp.float32(_PI) * u_b
-                cp2 = jnp.cos(ph2)
-                sp2 = jnp.sin(ph2)
                 stcp = st_ * cp2
                 stsp = st_ * sp2
                 ddx = tx2 * stcp + nx * ct_ + bx2 * stsp
@@ -638,13 +734,19 @@ def render_samples(
     interpret: bool = False,
     pixel_offset=0,
     num_pixels=None,
+    geom_kinds=None,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch (public wrapper;
     forwards the module-level ABLATION/INTERLEAVE knobs as jit-static args so
-    the executable cache keys on them)."""
+    the executable cache keys on them). `geom_kinds` (static) carries the
+    per-geom axis-aligned specialization; when None it is derived from the
+    scene's concrete arrays (callers inside a trace — shard_map — must
+    precompute it, see parallel.shard)."""
+    if geom_kinds is None:
+        geom_kinds = _static_geom_kinds(scene)
     return _render_samples_impl(
         scene, config, seed, iter_base, num_samples, interpret,
-        pixel_offset, num_pixels, ABLATION, INTERLEAVE,
+        pixel_offset, num_pixels, ABLATION, INTERLEAVE, geom_kinds,
     )
 
 
@@ -652,7 +754,7 @@ def render_samples(
     jax.jit,
     static_argnames=(
         "config", "num_samples", "interpret", "num_pixels",
-        "ablation", "interleave",
+        "ablation", "interleave", "geom_kinds",
     ),
 )
 def _render_samples_impl(
@@ -666,6 +768,7 @@ def _render_samples_impl(
     num_pixels=None,
     ablation: str = "",
     interleave: int = 1,
+    geom_kinds: tuple = (),
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch.
 
@@ -729,6 +832,7 @@ def _render_samples_impl(
         ablation=ablation,
         interleave=interleave,
         enable_refraction=getattr(config, "enable_refraction", False),
+        geom_kinds=geom_kinds,
     )
 
     grid = n_pad // TILE

@@ -7,20 +7,30 @@ the 38k-triangle benchmark scene). This kernel replaces lane-divergent
 descent with *tile-level* culling, which is how divergence maps to a TPU:
 
 - triangles are pre-sorted into BVH leaf order (spatially coherent) and
-  packed into fixed clusters of CLUSTER tris with precomputed AABBs;
-- the kernel grids over ray tiles; each tile sweeps the cluster list,
-  performs a vectorized slab test of its rays against the cluster AABB, and
-  skips the whole 128-triangle block with a single scalar branch
-  (`pl.when(any(hit))`) when no ray in the tile can improve — divergence is
+  packed into fixed clusters of ``cluster_size`` tris with precomputed
+  AABBs; consecutive clusters are further grouped into **superclusters**
+  of SUPER clusters each, a two-level hierarchy;
+- the kernel grids over ray tiles; each tile walks the supercluster list,
+  slab-tests its rays against the supercluster AABB, and only on a hit
+  descends to the member clusters — a miss skips SUPER × cluster_size
+  triangles with one vectorized test (`pl.when(any(hit))`); divergence is
   amortized across a tile instead of per lane;
+- clusters and superclusters are visited in **front-to-back order for the
+  tile's majority direction octant** (8 precomputed visit permutations) so
+  `best_t` saturates after the first few hits and the entry-distance cull
+  (`tmin < best_t`) rejects everything behind it;
+- a tile whose lanes are all dead (wavefront sorting pushes dead lanes to
+  the tail) skips the entire sweep with one scalar branch;
 - within a visited cluster, triangles stream as dynamic (1, 12) VMEM row
   loads broadcast against all lanes (Möller–Trumbore, ~45 VPU ops/tri);
 - `best_t` lives in VMEM scratch so later clusters are rejected against the
-  current nearest hit (entry-distance cull).
+  current nearest hit.
 
-Cost is bounded by (clusters visited per tile) × CLUSTER, independent of
-per-lane divergence. Analytic primitives are handled by ops.fast / ops.bvh;
-this kernel is triangles only.
+The result is order-independent (each triangle test keeps the strict
+nearest `t < best_t`), so the per-octant visit permutations affect only
+speed, never the image. Cost is bounded by (clusters actually entered per
+tile) × cluster_size, independent of per-lane divergence. Analytic
+primitives are handled by ops.fast / ops.bvh; this kernel is triangles only.
 """
 
 from __future__ import annotations
@@ -34,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CLUSTER = 128  # triangles per cluster (one packed row block)
+CLUSTER = 64   # default triangles per cluster (one packed row block)
+SUPER = 16     # clusters per supercluster
 TILE_ROWS = 8  # ray tile = TILE_ROWS × 128 lanes
 LANES = 128
 TILE = TILE_ROWS * LANES
@@ -42,41 +53,181 @@ TILE = TILE_ROWS * LANES
 _MISS = 1e30
 _BACKOFF = 1e-4
 
+# the 8 octant diagonal directions, index = (dx>0) + 2(dy>0) + 4(dz>0)
+_OCTANT_SIGNS = np.array(
+    [[1 if o & (1 << a) else -1 for a in range(3)] for o in range(8)],
+    np.float32,
+)
 
-def pack_triangles(
-    v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, material_id=None
+
+def treelet_cut(bvh, cluster_size: int):
+    """Cut a preorder FlatBVH (ops.bvh) into a two-level treelet partition.
+
+    Returns (clusters, membership): ``clusters`` is a list of (start, count)
+    primitive ranges — the deepest subtrees with ≤ cluster_size primitives —
+    and ``membership[s]`` lists the cluster ids of supercluster s (the
+    deepest subtrees containing ≤ SUPER clusters). Subtree AABBs are far
+    tighter than fixed runs of leaf order, so tiles enter fewer triangle
+    blocks. Preorder + contiguous leaf emission ⇒ every subtree is a
+    contiguous primitive range, so clusters stay contiguous in the packed
+    row array."""
+    k = bvh.bounds_min.shape[0]
+    leaf = bvh.leaf_start >= 0
+    prim_count = np.zeros(k, np.int64)
+    prim_start = np.zeros(k, np.int64)
+    for n in range(k - 1, -1, -1):
+        if leaf[n]:
+            prim_start[n] = bvh.leaf_start[n]
+            prim_count[n] = bvh.leaf_count[n]
+        else:
+            left = n + 1
+            right = int(bvh.miss_link[left])
+            prim_start[n] = prim_start[left]
+            prim_count[n] = prim_count[left] + prim_count[right]
+
+    def cut(pred):
+        out = []
+        stack = [0]
+        while stack:
+            n = stack.pop()
+            if pred(n) or leaf[n]:
+                out.append(n)
+            else:
+                left = n + 1
+                stack.append(int(bvh.miss_link[left]))  # right
+                stack.append(left)  # popped first → preorder
+        return out
+
+    cl_nodes = cut(lambda n: prim_count[n] <= cluster_size)
+    clusters = []
+    for n in cl_nodes:
+        s, c = int(prim_start[n]), int(prim_count[n])
+        # an oversized leaf (leaf_size > cluster_size) splits into runs
+        for lo in range(s, s + c, cluster_size):
+            clusters.append((lo, min(cluster_size, s + c - lo)))
+    starts = np.asarray([c[0] for c in clusters], np.int64)
+
+    def c_range(n):
+        lo = int(np.searchsorted(starts, prim_start[n]))
+        hi = int(np.searchsorted(starts, prim_start[n] + prim_count[n]))
+        return lo, hi
+
+    sc_nodes = cut(lambda n: (lambda r: r[1] - r[0] <= SUPER)(c_range(n)))
+    membership = []
+    for n in sc_nodes:
+        lo, hi = c_range(n)
+        # an SC node can still exceed SUPER clusters (oversized-leaf splits):
+        # emit multiple superclusters over the run
+        for mlo in range(lo, hi, SUPER):
+            membership.append(list(range(mlo, min(mlo + SUPER, hi))))
+    return clusters, membership
+
+
+def pack_clusters(
+    v0: np.ndarray,
+    e1: np.ndarray,
+    e2: np.ndarray,
+    material_id,
+    clusters,
+    cluster_size: int,
 ):
-    """Pack (already BVH-leaf-ordered) triangles into cluster blocks.
+    """Pack triangle clusters into fixed-size row blocks.
 
-    Returns (tri_rows [Tpad, 12] f32, aabbs [C, 8] f32, Tpad). Padding rows
-    are degenerate (zero edges → det 0 → never hit). Column 9 carries the
-    per-triangle material id (as f32); 10-11 are free payload."""
-    t = v0.shape[0]
-    c = (t + CLUSTER - 1) // CLUSTER
-    tpad = c * CLUSTER
-    rows = np.zeros((tpad, 12), np.float32)
-    rows[:t, 0:3] = v0
-    rows[:t, 3:6] = e1
-    rows[:t, 6:9] = e2
-    if material_id is not None:
-        rows[:t, 9] = np.asarray(material_id, np.float32)
+    Returns (tri_rows [(C·cluster_size), 12] f32, aabbs [C, 8] f32). Padding
+    rows are degenerate (zero edges → det 0 → never hit). Row layout:
+    v0(3) e1(3) e2(3), col 9 = material id, col 10 = the triangle's index in
+    the caller's arrays (returned as the hit id), col 11 free. AABB rows:
+    min(3) max(3), col 6 = base row of the cluster's block, col 7 free."""
+    c = len(clusters)
+    rows = np.zeros((c * cluster_size, 12), np.float32)
     aabbs = np.zeros((c, 8), np.float32)
     v1 = v0 + e1
     v2 = v0 + e2
     tmin = np.minimum(np.minimum(v0, v1), v2)
     tmax = np.maximum(np.maximum(v0, v1), v2)
-    for i in range(c):
-        lo = i * CLUSTER
-        hi = min(lo + CLUSTER, t)
-        aabbs[i, 0:3] = tmin[lo:hi].min(axis=0) - 1e-5
-        aabbs[i, 3:6] = tmax[lo:hi].max(axis=0) + 1e-5
-    return rows, aabbs, tpad
+    for i, (lo, cnt) in enumerate(clusters):
+        base = i * cluster_size
+        rows[base : base + cnt, 0:3] = v0[lo : lo + cnt]
+        rows[base : base + cnt, 3:6] = e1[lo : lo + cnt]
+        rows[base : base + cnt, 6:9] = e2[lo : lo + cnt]
+        if material_id is not None:
+            rows[base : base + cnt, 9] = material_id[lo : lo + cnt]
+        rows[base : base + cnt, 10] = np.arange(lo, lo + cnt, dtype=np.float32)
+        aabbs[i, 0:3] = tmin[lo : lo + cnt].min(axis=0) - 1e-5
+        aabbs[i, 3:6] = tmax[lo : lo + cnt].max(axis=0) + 1e-5
+        aabbs[i, 6] = base
+    return rows, aabbs
 
 
-def _make_kernel(num_clusters: int):
-    def kernel(tri_ref, aabb_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-               dz_ref, act_ref, t_out, i_out, nx_out, ny_out, nz_out, m_out,
-               best_t, best_i, bnx, bny, bnz, bmat):
+def build_visit_tables(aabbs: np.ndarray, membership):
+    """Two-level, per-octant visit tables for the kernel.
+
+    `aabbs` [C, 8] are cluster AABB rows (col 6 = triangle-block base);
+    `membership[s]` lists the cluster ids of supercluster s (≤ SUPER each).
+    Returns (sc_rows [(8·S), 8], cl_rows [(8·S·SUPER), 8], S):
+
+    - ``sc_rows[o·S + s]``: AABB of the s-th supercluster in octant o's
+      front-to-back order (payload unused);
+    - ``cl_rows[o·S·SUPER + s·SUPER + k]``: AABB row of the k-th member
+      cluster (front-to-back within its supercluster).
+
+    Padding slots are degenerate point boxes at (+FAR,+FAR,+FAR): the slab
+    entry distance is astronomically beyond any live `best_t` (≤ _MISS), so
+    `tmin < best_t` rejects them; supercluster AABBs span only their real
+    members so padding never inflates a parent box."""
+    s_count = len(membership)
+    far = np.float32(3e30)
+
+    sc = np.zeros((s_count, 8), np.float32)
+    grp = np.zeros((s_count, SUPER, 8), np.float32)
+    grp[:, :, 0:6] = far  # pad slots: point at (FAR,FAR,FAR), always rejected
+    for s, members in enumerate(membership):
+        m = aabbs[members]
+        grp[s, : len(members)] = m
+        sc[s, 0:3] = m[:, 0:3].min(axis=0)
+        sc[s, 3:6] = m[:, 3:6].max(axis=0)
+    sc_centers = 0.5 * (sc[:, 0:3] + sc[:, 3:6])
+
+    sc_rows = np.zeros((8, s_count, 8), np.float32)
+    cl_rows = np.zeros((8, s_count, SUPER, 8), np.float32)
+    for o in range(8):
+        d = _OCTANT_SIGNS[o]
+        sc_ord = np.argsort(sc_centers @ d, kind="stable")
+        sc_rows[o] = sc[sc_ord]
+        for si, s in enumerate(sc_ord):
+            members = grp[s]
+            key = 0.5 * (members[:, 0:3] + members[:, 3:6]) @ d
+            key = np.where(members[:, 0] >= far, np.inf, key)  # pads last
+            cl_rows[o, si] = members[np.argsort(key, kind="stable")]
+    return (
+        sc_rows.reshape(8 * s_count, 8),
+        cl_rows.reshape(8 * s_count * SUPER, 8),
+        s_count,
+    )
+
+
+def _slab(box, ox, oy, oz, inv_dx, inv_dy, inv_dz, best_t, active):
+    t0x = (box[0, 0] - ox) * inv_dx
+    t1x = (box[0, 3] - ox) * inv_dx
+    t0y = (box[0, 1] - oy) * inv_dy
+    t1y = (box[0, 4] - oy) * inv_dy
+    t0z = (box[0, 2] - oz) * inv_dz
+    t1z = (box[0, 5] - oz) * inv_dz
+    lox = jnp.minimum(t0x, t1x)
+    hix = jnp.maximum(t0x, t1x)
+    loy = jnp.minimum(t0y, t1y)
+    hiy = jnp.maximum(t0y, t1y)
+    loz = jnp.minimum(t0z, t1z)
+    hiz = jnp.maximum(t0z, t1z)
+    tmin = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, 0.0))
+    tmax = jnp.minimum(jnp.minimum(hix, hiy), hiz)
+    return (tmax >= tmin) & (tmin < best_t) & active
+
+
+def _make_kernel(num_super: int, cluster_size: int):
+    def kernel(tri_ref, sc_ref, cl_ref, ox_ref, oy_ref, oz_ref, dx_ref,
+               dy_ref, dz_ref, act_ref, t_out, i_out, nx_out, ny_out, nz_out,
+               m_out, best_t, best_i, bnx, bny, bnz, bmat):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         active = act_ref[:] > 0.5  # dead lanes never mark a cluster useful
@@ -90,73 +241,106 @@ def _make_kernel(num_clusters: int):
         bnz[:] = jnp.zeros(ox.shape, jnp.float32)
         bmat[:] = jnp.zeros(ox.shape, jnp.float32)
 
-        def cluster_body(c, _):
-            box = aabb_ref[pl.ds(c, 1), :]  # (1, 8)
-            t0x = (box[0, 0] - ox) * inv_dx
-            t1x = (box[0, 3] - ox) * inv_dx
-            t0y = (box[0, 1] - oy) * inv_dy
-            t1y = (box[0, 4] - oy) * inv_dy
-            t0z = (box[0, 2] - oz) * inv_dz
-            t1z = (box[0, 5] - oz) * inv_dz
-            lox = jnp.minimum(t0x, t1x)
-            hix = jnp.maximum(t0x, t1x)
-            loy = jnp.minimum(t0y, t1y)
-            hiy = jnp.maximum(t0y, t1y)
-            loz = jnp.minimum(t0z, t1z)
-            hiz = jnp.maximum(t0z, t1z)
-            tmin = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, 0.0))
-            tmax = jnp.minimum(jnp.minimum(hix, hiy), hiz)
-            useful = (tmax >= tmin) & (tmin < best_t[:]) & active
+        # majority direction octant of the tile's (live) rays — the
+        # wavefront sort makes tiles octant-coherent, so a per-axis
+        # majority vote recovers the bucket's octant; the result only
+        # selects a visit order, never the hit set
+        live = jnp.where(active, 1.0, 0.0)
+        mx = jnp.sum(jnp.where(dx > 0, live, -live))
+        my = jnp.sum(jnp.where(dy > 0, live, -live))
+        mz = jnp.sum(jnp.where(dz > 0, live, -live))
+        octant = (
+            (mx > 0).astype(jnp.int32)
+            + 2 * (my > 0).astype(jnp.int32)
+            + 4 * (mz > 0).astype(jnp.int32)
+        )
+        sc_base = octant * num_super
+        cl_base = octant * (num_super * SUPER)
+
+        def make_tri_body(base):
+            def tri_body(j, carry):
+                # winner state rides the loop carry (vector registers):
+                # per-triangle scratch-ref read/writes would round-trip VMEM
+                # 12× per triangle
+                bt, bi, cnx, cny, cnz, cbm = carry
+                row = tri_ref[pl.ds(base + j, 1), :]  # (1, 12)
+                v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
+                e1x, e1y, e1z = row[0, 3], row[0, 4], row[0, 5]
+                e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
+                # Möller–Trumbore, all lanes vs one triangle
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = (
+                    (jnp.abs(det) > 1e-9)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > _BACKOFF)
+                    & (t < bt)
+                )
+                # geometric normal, flipped to face the incoming ray
+                # (normalized once after the sweep)
+                fnx = e1y * e2z - e1z * e2y
+                fny = e1z * e2x - e1x * e2z
+                fnz = e1x * e2y - e1y * e2x
+                fsign = jnp.where(dx * fnx + dy * fny + dz * fnz < 0, 1.0, -1.0)
+                return (
+                    jnp.where(ok, t, bt),
+                    jnp.where(ok, row[0, 10].astype(jnp.int32), bi),
+                    jnp.where(ok, fnx * fsign, cnx),
+                    jnp.where(ok, fny * fsign, cny),
+                    jnp.where(ok, fnz * fsign, cnz),
+                    jnp.where(ok, row[0, 9], cbm),
+                )
+
+            return tri_body
+
+        def cluster_body(cc, s):
+            box = cl_ref[pl.ds(cl_base + s * SUPER + cc, 1), :]  # (1, 8)
+            useful = _slab(box, ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                           best_t[:], active)
 
             @pl.when(jnp.any(useful))
             def _():
-                def tri_body(j, _):
-                    row = tri_ref[pl.ds(c * CLUSTER + j, 1), :]  # (1, 12)
-                    v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
-                    e1x, e1y, e1z = row[0, 3], row[0, 4], row[0, 5]
-                    e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
-                    # Möller–Trumbore, all lanes vs one triangle
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-                    tx = ox - v0x
-                    ty = oy - v0y
-                    tz = oz - v0z
-                    u = (tx * px + ty * py + tz * pz) * inv_det
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    v = (dx * qx + dy * qy + dz * qz) * inv_det
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    ok = (
-                        (jnp.abs(det) > 1e-9)
-                        & (u >= 0.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
-                        & (t > _BACKOFF)
-                        & (t < best_t[:])
-                    )
-                    # geometric normal, flipped to face the incoming ray
-                    # (normalized once after the sweep)
-                    fnx = e1y * e2z - e1z * e2y
-                    fny = e1z * e2x - e1x * e2z
-                    fnz = e1x * e2y - e1y * e2x
-                    fsign = jnp.where(dx * fnx + dy * fny + dz * fnz < 0, 1.0, -1.0)
-                    best_t[:] = jnp.where(ok, t, best_t[:])
-                    best_i[:] = jnp.where(ok, c * CLUSTER + j, best_i[:])
-                    bnx[:] = jnp.where(ok, fnx * fsign, bnx[:])
-                    bny[:] = jnp.where(ok, fny * fsign, bny[:])
-                    bnz[:] = jnp.where(ok, fnz * fsign, bnz[:])
-                    bmat[:] = jnp.where(ok, row[0, 9], bmat[:])
-                    return 0
+                base = box[0, 6].astype(jnp.int32)
+                out = jax.lax.fori_loop(
+                    0,
+                    cluster_size,
+                    make_tri_body(base),
+                    (best_t[:], best_i[:], bnx[:], bny[:], bnz[:], bmat[:]),
+                    unroll=True,
+                )
+                best_t[:], best_i[:], bnx[:], bny[:], bnz[:], bmat[:] = out
 
-                jax.lax.fori_loop(0, CLUSTER, tri_body, 0)
+            return s
+
+        def super_body(s, _):
+            scbox = sc_ref[pl.ds(sc_base + s, 1), :]  # (1, 8)
+            useful = _slab(scbox, ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                           best_t[:], active)
+
+            @pl.when(jnp.any(useful))
+            def _():
+                jax.lax.fori_loop(0, SUPER, cluster_body, s)
 
             return 0
 
-        jax.lax.fori_loop(0, num_clusters, cluster_body, 0)
+        @pl.when(jnp.any(active))
+        def _():
+            jax.lax.fori_loop(0, num_super, super_body, 0)
+
         t_out[:] = best_t[:]
         i_out[:] = best_i[:]
         rn = jax.lax.rsqrt(
@@ -175,12 +359,16 @@ def _make_kernel(num_clusters: int):
 _CHUNK_ROWS = 1024  # 128k rays per call
 
 
-@functools.partial(jax.jit, static_argnames=("num_clusters", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_super", "cluster_size", "interpret")
+)
 def _intersect(
     tri_rows: jnp.ndarray,
-    aabbs: jnp.ndarray,
+    sc_rows: jnp.ndarray,
+    cl_rows: jnp.ndarray,
     ox, oy, oz, dx, dy, dz, active,
-    num_clusters: int,
+    num_super: int,
+    cluster_size: int,
     interpret: bool = False,
 ):
     n = ox.shape[0]
@@ -202,11 +390,12 @@ def _intersect(
                          memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((_CHUNK_ROWS, LANES), jnp.float32)
     call = pl.pallas_call(
-        _make_kernel(num_clusters),
+        _make_kernel(num_super, cluster_size),
         grid=(_CHUNK_ROWS // TILE_ROWS,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster aabbs (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # supercluster visit rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster visit rows
             block, block, block, block, block, block, block,
         ],
         out_specs=(block,) * 6,
@@ -228,7 +417,8 @@ def _intersect(
 
     def one(chunk_args):
         cox, coy, coz, cdx, cdy, cdz, cact = chunk_args
-        return call(tri_rows, aabbs, cox, coy, coz, cdx, cdy, cdz, cact)
+        return call(tri_rows, sc_rows, cl_rows, cox, coy, coz, cdx, cdy,
+                    cdz, cact)
 
     outs = jax.lax.map(one, args)
     return tuple(o.reshape(-1)[:n] for o in outs)
@@ -242,16 +432,40 @@ class ClusterMeshIntersector:
     returns the ray-facing unit normal and the per-triangle material id,
     all computed in-kernel (no host-side winner gathers)."""
 
-    def __init__(self, v0, e1, e2, material_id=None, interpret: bool = False):
-        rows, aabbs, tpad = pack_triangles(
-            np.asarray(v0, np.float32),
-            np.asarray(e1, np.float32),
-            np.asarray(e2, np.float32),
-            material_id,
+    def __init__(self, v0, e1, e2, material_id=None, interpret: bool = False,
+                 cluster_size: int = CLUSTER, bvh=None):
+        v0 = np.asarray(v0, np.float32)
+        e1 = np.asarray(e1, np.float32)
+        e2 = np.asarray(e2, np.float32)
+        mat = (
+            np.asarray(material_id, np.float32)
+            if material_id is not None
+            else None
         )
+        t = v0.shape[0]
+        if bvh is not None:
+            # treelet partition: tight subtree AABBs at both levels. The
+            # caller passes arrays already permuted into bvh.order space.
+            clusters, membership = treelet_cut(bvh, cluster_size)
+        else:
+            # fixed consecutive runs (callers without a BVH; correct for any
+            # input order, fastest when the input is spatially sorted)
+            c = (t + cluster_size - 1) // cluster_size
+            clusters = [
+                (i * cluster_size, min(cluster_size, t - i * cluster_size))
+                for i in range(c)
+            ]
+            membership = [
+                list(range(i, min(i + SUPER, c))) for i in range(0, c, SUPER)
+            ]
+        rows, aabbs = pack_clusters(v0, e1, e2, mat, clusters, cluster_size)
+        sc_rows, cl_rows, num_super = build_visit_tables(aabbs, membership)
         self.tri_rows = jnp.asarray(rows)
-        self.aabbs = jnp.asarray(aabbs)
+        self.sc_rows = jnp.asarray(sc_rows)
+        self.cl_rows = jnp.asarray(cl_rows)
+        self.num_super = num_super
         self.num_clusters = aabbs.shape[0]
+        self.cluster_size = cluster_size
         self.interpret = interpret
 
     def call_soa(self, ox, oy, oz, dx, dy, dz, active=None):
@@ -262,9 +476,11 @@ class ClusterMeshIntersector:
             active = jnp.ones(ox.shape, jnp.float32)
         return _intersect(
             self.tri_rows,
-            self.aabbs,
+            self.sc_rows,
+            self.cl_rows,
             ox, oy, oz, dx, dy, dz, active.astype(jnp.float32),
-            num_clusters=self.num_clusters,
+            num_super=self.num_super,
+            cluster_size=self.cluster_size,
             interpret=self.interpret,
         )
 

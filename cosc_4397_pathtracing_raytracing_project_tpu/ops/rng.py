@@ -41,6 +41,35 @@ def bounce_uniforms(base_key: jax.Array, iteration, depth, n: int) -> jax.Array:
     )
 
 
+def hash_bounce_uniforms(
+    base_key: jax.Array, iteration, depth, pixel_ids: jax.Array
+) -> jax.Array:
+    """``[NUM_LANES, n]`` uniforms from a counter-hash keyed by PIXEL id.
+
+    Drop-in replacement for ``bounce_uniforms`` on reordered wavefronts:
+    u[l, i] is a pure function of (key, iteration, depth, pixel_ids[i], l),
+    so a sorted wavefront draws exactly the pixel-keyed streams with **no
+    gather** — threefry generation plus a [lanes, n] gather costs ~70 ms per
+    bounce at 2M rays, the hash ~5 ms. The hash is the murmur3-style
+    avalanche used by the Pallas megakernel's interpret-mode PRNG
+    (ops.pallas.megakernel._HashPrng); the reference's analog is its
+    utilhash-seeded thrust engine (`src/pathtrace.cu:203-207`)."""
+    kd = jax.random.key_data(base_key).reshape(-1)[-1].astype(jnp.uint32)
+    seed = kd * jnp.uint32(0x9E3779B9)
+    seed = seed ^ (jnp.asarray(iteration).astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+    seed = seed ^ (seed >> jnp.uint32(13))
+    seed = seed ^ (jnp.asarray(depth).astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
+    p = pixel_ids.astype(jnp.uint32)
+    us = []
+    for lane in range(NUM_LANES):
+        x = p ^ (seed + jnp.uint32(lane) * jnp.uint32(0x9E3779B9))
+        x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+        x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> jnp.uint32(16))
+        us.append((x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24))
+    return jnp.stack(us)
+
+
 def pixel_jitter(base_key: jax.Array, iteration, n: int) -> jax.Array:
     """``[n, 2]`` sub-pixel jitter for antialiasing (extension: the reference
     generates rays through pixel corners with no jitter, `pathtrace.cu:278-282`)."""

@@ -103,6 +103,7 @@ def render_chunk_sharded_pallas(
     num_samples: int,
     mesh: Mesh,
     interpret: bool = False,
+    geom_kinds=None,
 ) -> RenderState:
     """Multi-chip megakernel step: each dp rank runs the single-dispatch
     Pallas megakernel (ops.pallas.megakernel) on its contiguous pixel slice;
@@ -120,6 +121,11 @@ def render_chunk_sharded_pallas(
         raise ValueError(f"num_samples {num_samples} not divisible by sp={n_sp}")
     local_pixels = n_total // n_dp
     local_samples = num_samples // n_sp
+    if geom_kinds is None:
+        # inside shard_map the scene is a tracer: derive the static
+        # axis-aligned specialization here (concrete on the direct call path;
+        # make_sharded_pallas_step passes it through its closure)
+        geom_kinds = megakernel._static_geom_kinds(scene)
 
     def body(scene, accum_local, iteration, key):
         dp = jax.lax.axis_index(PIXEL_AXIS)
@@ -138,6 +144,7 @@ def render_chunk_sharded_pallas(
             interpret=interpret,
             pixel_offset=offset,
             num_pixels=local_pixels,
+            geom_kinds=geom_kinds,
         )
         rad = jax.lax.psum(rad, SAMPLE_AXIS)
         return accum_local + rad
@@ -169,12 +176,17 @@ def make_sharded_pallas_step(
     interpret: bool = False,
 ):
     """jit-compiled closure over the static pieces (megakernel pipeline)."""
+    from ..ops.pallas import megakernel
+
     fn = partial(
         render_chunk_sharded_pallas,
         config=config,
         num_samples=num_samples,
         mesh=mesh,
         interpret=interpret,
+        # derived here while the scene is concrete — inside the jit trace
+        # below the scene arrays are tracers
+        geom_kinds=megakernel._static_geom_kinds(scene),
     )
     return jax.jit(lambda scene, state: fn(scene, state))
 

@@ -216,8 +216,9 @@ def make_pallas_step(interpret: bool = False):
 
 
 def make_mesh_intersector(scene: Scene, interpret: bool = False):
-    """Cluster-culled triangle intersector, triangles pre-sorted into BVH
-    leaf order for spatial coherence within clusters."""
+    """Cluster-culled triangle intersector over a BVH treelet partition:
+    triangles permuted into leaf order, clusters/superclusters cut as
+    subtrees (tight AABBs at both levels — see mesh_kernel.treelet_cut)."""
     import numpy as np
 
     from ..ops import bvh as bvh_mod
@@ -234,7 +235,8 @@ def make_mesh_intersector(scene: Scene, interpret: bool = False):
     )
     order = bvh.order
     return ClusterMeshIntersector(
-        v0[order], e1[order], e2[order], mat[order], interpret=interpret
+        v0[order], e1[order], e2[order], mat[order], interpret=interpret,
+        bvh=bvh,
     )
 
 

@@ -46,9 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="interactive web preview instead of headless render")
     p.add_argument("--port", type=int, default=8634)
     p.add_argument("--quiet", action="store_true")
-    p.add_argument("--metrics-every", type=int, default=0,
-                   help="print the metrics block every N iterations "
-                        "(reference prints every iteration; 0 = end only)")
+    p.add_argument("--metrics-every", type=int, default=1,
+                   help="print the metrics block every N iterations, at "
+                        "device-launch granularity (default 1 = every "
+                        "launch, the reference's per-iteration block; "
+                        "0 = end only)")
     return p
 
 

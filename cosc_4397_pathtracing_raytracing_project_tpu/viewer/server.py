@@ -47,13 +47,21 @@ window.onkeydown = e => {
   if (['s','S',' ','Escape'].includes(e.key))
     fetch('/control', {method:'POST', body: JSON.stringify({type:'key', key:e.key})});
 };
+let statTick = 0;
 async function tick() {
+  // frame fetch drives the cadence: the server re-encodes only when the
+  // accumulator advanced, so a fast poll is cheap
   const img = new Image();
-  img.onload = () => { c.width = img.width; c.height = img.height; ctx.drawImage(img, 0, 0); };
+  const done = new Promise(res => { img.onload = () => {
+    c.width = img.width; c.height = img.height; ctx.drawImage(img, 0, 0); res();
+  }; img.onerror = res; });
   img.src = '/frame.png?t=' + Date.now();
-  const s = await (await fetch('/stats')).json();
-  hud.textContent = s.text;
-  setTimeout(tick, 250);
+  await done;
+  if ((statTick++ & 3) === 0) {
+    const s = await (await fetch('/stats')).json();
+    hud.textContent = s.text;
+  }
+  setTimeout(tick, 60);
 }
 tick();
 </script></body></html>"""
@@ -78,6 +86,8 @@ class PreviewServer:
         self._stop = threading.Event()
         self._render_thread = None
         self._httpd = None
+        self._frame_cache = (-1, b"")  # (iteration, png bytes)
+        self._frame_times: list = []  # recent distinct-frame timestamps
 
     # ── render loop (the mainLoop/runCuda analog) ──
 
@@ -94,14 +104,38 @@ class PreviewServer:
             self.renderer.step(self.renderer.config.samples_per_launch)
 
     def frame_png(self) -> bytes:
+        # re-encode only when the accumulator advanced — polls between
+        # render steps are free, so the client can poll fast
+        it = self.renderer.iteration
+        cached_it, cached = self._frame_cache
+        if it == cached_it and cached:
+            return cached
         img = self.renderer.display_image()[:, ::-1, :]
-        return encode_png(img, compress_level=1)
+        png = encode_png(img, compress_level=1)
+        import time as _time
+
+        with self._lock:
+            self._frame_cache = (it, png)
+            self._frame_times.append(_time.monotonic())
+            if len(self._frame_times) > 20:
+                self._frame_times = self._frame_times[-20:]
+        return png
+
+    def display_fps(self) -> float:
+        """Distinct preview frames served per second (the ImGui framerate
+        analog, `src/preview.cpp:221`)."""
+        with self._lock:
+            ts = list(self._frame_times)
+        if len(ts) < 2 or ts[-1] <= ts[0]:
+            return 0.0
+        return (len(ts) - 1) / (ts[-1] - ts[0])
 
     def stats_text(self) -> str:
         m = self.renderer.metrics
         return (
             f"Path Tracer Analytics\n"
             f"iteration: {self.renderer.iteration}\n"
+            f"display fps: {self.display_fps():.1f}\n"
             + m.summary()
         )
 

@@ -1,0 +1,133 @@
+"""Mesh-pipeline microbenchmark on the real TPU (BASELINE config 5 scene).
+
+Times one warm sample of trace_sample_mesh at 1080p over the 38.5k-triangle
+scene, with a breakdown of the per-bounce pieces (sort vs cluster kernel),
+and sweeps tuning knobs when asked.
+
+    python scripts/bench_mesh.py [--samples 3] [--depth 8] [--res 1920x1080]
+                                 [--cluster 64] [--no-sort]
+
+All timings use a data-dependent fetch (float(sum(x[:2]))) — on this backend
+block_until_ready can return before queued kernels finish (see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(x):
+    return float(jnp.sum(jnp.ravel(x)[:2]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=3)
+    ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--res", default="1920x1080")
+    ap.add_argument("--cluster", type=int, default=None)
+    ap.add_argument("--no-sort", action="store_true")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="samples per jitted dispatch")
+    args = ap.parse_args()
+
+    from cosc_4397_pathtracing_raytracing_project_tpu import RenderConfig
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops import fast
+    from cosc_4397_pathtracing_raytracing_project_tpu.render.engine import (
+        make_mesh_intersector,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.scene import (
+        Scene,
+        load_scene_desc,
+    )
+
+    scenes = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    desc = load_scene_desc(os.path.join(scenes, "mesh1080p.txt"))
+    w, h = (int(v) for v in args.res.split("x"))
+    desc.camera.resolution = (w, h)
+    scene = Scene.from_desc(desc)
+    print(f"scene: {scene.triangles.count} tris, {w}x{h}", file=sys.stderr)
+
+    kw = {}
+    if args.cluster is not None:
+        kw["cluster_size"] = args.cluster
+    import cosc_4397_pathtracing_raytracing_project_tpu.render.engine as eng
+
+    if args.cluster is not None:
+        from cosc_4397_pathtracing_raytracing_project_tpu.ops import bvh as bvh_mod
+        from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas.mesh_kernel import (
+            ClusterMeshIntersector,
+        )
+
+        v0 = np.asarray(scene.triangles.v0)
+        e1 = np.asarray(scene.triangles.e1)
+        e2 = np.asarray(scene.triangles.e2)
+        mat = np.asarray(scene.triangles.material_id)
+        tmin = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+        tmax = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+        bvh = bvh_mod.try_native_build(tmin, tmax, 8) or bvh_mod.build_bvh(
+            tmin, tmax, leaf_size=8
+        )
+        o = bvh.order
+        cluster = ClusterMeshIntersector(
+            v0[o], e1[o], e2[o], mat[o], cluster_size=args.cluster
+        )
+    else:
+        cluster = make_mesh_intersector(scene)
+    cfg = RenderConfig(
+        trace_depth=args.depth,
+        sky_strength=1.0,
+        mesh_ray_sort=not args.no_sort,
+    )
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(scene, key, iteration, k):
+        def body(i, acc):
+            return acc + fast.trace_sample_mesh(
+                scene, cfg, key, iteration + i, cluster
+            )
+        acc0 = jnp.zeros((scene.camera.pixel_count, 3), jnp.float32)
+        if k == 1:
+            return acc0 + fast.trace_sample_mesh(scene, cfg, key, iteration, cluster)
+        return jax.lax.fori_loop(0, k, body, acc0)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    sync(run(scene, key, jnp.int32(1), args.batch))
+    print(f"compile+first: {time.time()-t0:.2f}s", file=sys.stderr)
+
+    best = float("inf")
+    for i in range(args.samples):
+        t0 = time.time()
+        out = run(scene, key, jnp.int32(2 + i * args.batch), args.batch)
+        sync(out)
+        dt = (time.time() - t0) / args.batch
+        best = min(best, dt)
+        print(f"sample {i}: {dt*1e3:.1f} ms/sample", file=sys.stderr)
+
+    rays = w * h
+    print(
+        {
+            "ms_per_sample": round(best * 1e3, 2),
+            "mrays_per_sec": round(rays / best / 1e6, 3),
+            "depth": args.depth,
+            "sort": not args.no_sort,
+            "cluster": args.cluster,
+            "batch": args.batch,
+        }
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,21 @@ def test_profile_stages():
         assert stats[k] >= 0
 
 
+def test_profile_pipeline():
+    """Bounce-granularity profiling of the resolved production pipeline."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.render.profiling import (
+        profile_pipeline,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.scene import Scene, parse_scene
+    from test_render import CORNELL_SMALL
+
+    scene = Scene.from_desc(parse_scene(CORNELL_SMALL))
+    stats = profile_pipeline(scene, RenderConfig(trace_depth=4), reps=1)
+    assert stats["pipeline"] in ("fast", "pallas", "fast_mesh", "reference")
+    for k in ("total_ms", "bounce1_ms", "per_bounce_ms", "fixed_ms"):
+        assert stats[k] >= 0
+
+
 def test_validate_radiance():
     from cosc_4397_pathtracing_raytracing_project_tpu.utils.debug import (
         validate_radiance,
