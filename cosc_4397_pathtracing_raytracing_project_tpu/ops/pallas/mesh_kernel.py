@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 CLUSTER = 64   # default triangles per cluster (one packed row block)
 SUPER = 16     # clusters per supercluster
+BATCH = 8      # boxes slab-tested per scalar branch (see kernel notes)
 TILE_ROWS = 8  # ray tile = TILE_ROWS × 128 lanes
 LANES = 128
 TILE = TILE_ROWS * LANES
@@ -175,10 +176,13 @@ def build_visit_tables(aabbs: np.ndarray, membership):
     entry distance is astronomically beyond any live `best_t` (≤ _MISS), so
     `tmin < best_t` rejects them; supercluster AABBs span only their real
     members so padding never inflates a parent box."""
-    s_count = len(membership)
+    # supercluster count padded to a BATCH multiple (the kernel sweeps
+    # BATCH boxes per scalar branch); pad entries are far boxes
+    s_count = ((len(membership) + BATCH - 1) // BATCH) * BATCH
     far = np.float32(3e30)
 
     sc = np.zeros((s_count, 8), np.float32)
+    sc[:, 0:6] = far
     grp = np.zeros((s_count, SUPER, 8), np.float32)
     grp[:, :, 0:6] = far  # pad slots: point at (FAR,FAR,FAR), always rejected
     for s, members in enumerate(membership):
@@ -192,7 +196,9 @@ def build_visit_tables(aabbs: np.ndarray, membership):
     cl_rows = np.zeros((8, s_count, SUPER, 8), np.float32)
     for o in range(8):
         d = _OCTANT_SIGNS[o]
-        sc_ord = np.argsort(sc_centers @ d, kind="stable")
+        sc_key = sc_centers @ d
+        sc_key = np.where(sc[:, 0] >= far, np.inf, sc_key)  # pads last
+        sc_ord = np.argsort(sc_key, kind="stable")
         sc_rows[o] = sc[sc_ord]
         for si, s in enumerate(sc_ord):
             members = grp[s]
@@ -307,6 +313,12 @@ def _make_kernel(num_super: int, cluster_size: int):
 
             return tri_body
 
+        # Every `jnp.any` + `pl.when` costs a vector→scalar pipeline drain
+        # (~450 cycles measured — dwarfing the ~35-op slab test itself), so
+        # boxes are tested in BATCHes: one vector OR over BATCH slab tests,
+        # ONE scalar branch; only batches with a hit pay per-box branches.
+        # Misses dominate a front-to-back sweep, so the drain count drops
+        # ~BATCH× on the skip path.
         def cluster_body(cc, s):
             box = cl_ref[pl.ds(cl_base + s * SUPER + cc, 1), :]  # (1, 8)
             useful = _slab(box, ox, oy, oz, inv_dx, inv_dy, inv_dz,
@@ -326,20 +338,52 @@ def _make_kernel(num_super: int, cluster_size: int):
 
             return s
 
-        def super_body(s, _):
-            scbox = sc_ref[pl.ds(sc_base + s, 1), :]  # (1, 8)
-            useful = _slab(scbox, ox, oy, oz, inv_dx, inv_dy, inv_dz,
-                           best_t[:], active)
+        def cluster_batch_body(cb, s):
+            bt = best_t[:]
+            m = None
+            for j in range(BATCH):  # static: BATCH fused tests, no sync
+                box = cl_ref[pl.ds(cl_base + s * SUPER + cb * BATCH + j, 1), :]
+                u = _slab(box, ox, oy, oz, inv_dx, inv_dy, inv_dz, bt, active)
+                m = u if m is None else (m | u)
 
-            @pl.when(jnp.any(useful))
+            @pl.when(jnp.any(m))
             def _():
-                jax.lax.fori_loop(0, SUPER, cluster_body, s)
+                jax.lax.fori_loop(
+                    cb * BATCH, (cb + 1) * BATCH, cluster_body, s
+                )
+
+            return s
+
+        def super_batch_body(b, _):
+            bt = best_t[:]
+            m = None
+            for j in range(BATCH):
+                scbox = sc_ref[pl.ds(sc_base + b * BATCH + j, 1), :]
+                u = _slab(scbox, ox, oy, oz, inv_dx, inv_dy, inv_dz, bt, active)
+                m = u if m is None else (m | u)
+
+            @pl.when(jnp.any(m))
+            def _():
+                def super_body(s, _):
+                    scbox = sc_ref[pl.ds(sc_base + s, 1), :]
+                    useful = _slab(scbox, ox, oy, oz, inv_dx, inv_dy,
+                                   inv_dz, best_t[:], active)
+
+                    @pl.when(jnp.any(useful))
+                    def _():
+                        jax.lax.fori_loop(
+                            0, SUPER // BATCH, cluster_batch_body, s
+                        )
+
+                    return 0
+
+                jax.lax.fori_loop(b * BATCH, (b + 1) * BATCH, super_body, 0)
 
             return 0
 
         @pl.when(jnp.any(active))
         def _():
-            jax.lax.fori_loop(0, num_super, super_body, 0)
+            jax.lax.fori_loop(0, num_super // BATCH, super_batch_body, 0)
 
         t_out[:] = best_t[:]
         i_out[:] = best_i[:]

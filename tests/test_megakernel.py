@@ -57,6 +57,41 @@ def test_megakernel_matches_fast_pipeline(scene, mode):
         assert corr > 0.7
 
 
+def test_megakernel_generic_rotation_matches_fast():
+    """A 45°-rotated cube exercises the megakernel's generic (non
+    axis-aligned) transform + in-loop world-normal path; CORNELL_SMALL's
+    geoms are all signed-permutation transforms, which take the specialized
+    path (megakernel._static_geom_kinds)."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas.megakernel import (
+        _static_geom_kinds,
+    )
+
+    rotated = CORNELL_SMALL.replace("ROTAT 0 0 90", "ROTAT 20 45 10", 1)
+    sc = Scene.from_desc(parse_scene(rotated))
+    kinds = _static_geom_kinds(sc)
+    assert any(perm is None for _, perm in kinds)  # generic path exercised
+    assert any(perm is not None for _, perm in kinds)  # mixed with AA
+
+    cfg = RenderConfig(trace_depth=3)
+    n_samples = 3
+    rad_mk = np.asarray(
+        megakernel.render_samples(
+            sc, cfg, jnp.int32(0), jnp.int32(1), n_samples, interpret=True
+        )
+    ) / n_samples
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    acc = jnp.zeros((sc.camera.pixel_count, 3))
+    for i in range(n_samples):
+        acc = acc + fast.trace_sample_fast(sc, cfg, key, jnp.int32(1 + i))
+    rad_fast = np.asarray(acc) / n_samples
+    assert np.isfinite(rad_mk).all()
+    assert abs(rad_mk.mean() - rad_fast.mean()) / max(rad_fast.mean(), 1e-9) < 0.3
+    corr = np.corrcoef(rad_mk.mean(-1), rad_fast.mean(-1))[0, 1]
+    assert corr > 0.7
+
+
 def test_megakernel_iteration_decorrelation(scene):
     cfg = RenderConfig(trace_depth=2)
     a = np.asarray(
