@@ -24,10 +24,12 @@ primitives). Mesh/BVH scenes take the general path.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..scene.structs import Scene
 
@@ -483,6 +485,24 @@ def supports_mesh(scene: Scene) -> bool:
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _block_order(w: int, h: int, block: int = 32) -> np.ndarray:
+    """Pixel visit permutation grouping ``block``×``block`` screen rects.
+
+    Linear pixel order puts 1024 *consecutive scanline* pixels in one ray
+    tile of the cluster kernel — a frustum half the screen wide and one
+    pixel tall that overlaps most of the scene's clusters. Visiting pixels
+    block-by-block makes each tile a compact screen rect, so tile-level
+    AABB culling actually culls on primary rays. Returned as int32 [w*h]:
+    entry i is the linear pixel id the i-th ray handles. Stable argsort
+    keeps row-major order inside a block (ragged edge blocks are simply
+    smaller)."""
+    py, px = np.mgrid[0:h, 0:w]
+    bw = (w + block - 1) // block
+    key = (py // block) * bw + (px // block)
+    return np.argsort(key.ravel(), kind="stable").astype(np.int32)
+
+
 def trace_sample_mesh(
     scene: Scene,
     config,
@@ -504,11 +524,26 @@ def trace_sample_mesh(
     legacy = config.gather_mode == "throughput"
     has_analytic = scene.cubes.count + scene.spheres.count > 0
 
-    idx = pixel_offset + jnp.arange(n, dtype=jnp.int32)
+    do_sort = getattr(config, "mesh_ray_sort", True) and not legacy
+    # Block-ordered primary rays: only when the final unsort already exists
+    # (do_sort) and this call renders the full frame (the sharded path hands
+    # out scanline slices; blocking a slice would need its own unsort).
+    blocked = (
+        do_sort and isinstance(pixel_offset, int) and pixel_offset == 0
+        and n == w * h
+    )
+    if blocked:
+        local = jnp.asarray(_block_order(w, h))
+        idx = local
+    else:
+        local = jnp.arange(n, dtype=jnp.int32)
+        idx = pixel_offset + local
     px = (idx % w).astype(jnp.float32)
     py = (idx // w).astype(jnp.float32)
     if config.antialias:
         jit2 = rng_ops.pixel_jitter(base_key, iteration, n)
+        if blocked:
+            jit2 = jnp.take(jit2, local, axis=0)  # jitter follows the pixel
         px = px + jit2[:, 0]
         py = py + jit2[:, 1]
     sx = cam.pixel_length[0] * (px - 0.5 * w)
@@ -530,7 +565,7 @@ def trace_sample_mesh(
         jnp.full((n,), config.trace_depth, jnp.int32),
         zeros, zeros, zeros,
     )
-    pixel = jnp.arange(n, dtype=jnp.int32)
+    pixel = local  # ray i carries (local) pixel id local[i] through reorders
 
     # scene bounds for the origin-cell sort key
     if getattr(config, "mesh_ray_sort", True):
@@ -567,9 +602,16 @@ def trace_sample_mesh(
         cx = jnp.clip(((ox - lo[0]) * cell_scale[0]).astype(jnp.int32), 0, 3)
         cy = jnp.clip(((oy - lo[1]) * cell_scale[1]).astype(jnp.int32), 0, 3)
         cz = jnp.clip(((oz - lo[2]) * cell_scale[2]).astype(jnp.int32), 0, 3)
-        key9 = octant + 8 * (cx + 4 * cy + 16 * cz)
-        key9 = jnp.where(alive, key9, jnp.int32(1 << 12))  # dead lanes last
-        perm = jnp.argsort(key9)
+        key9 = octant + 8 * (cx + 4 * cy + 16 * cz)  # ≤ 519, 10 bits
+        key9 = jnp.where(alive, key9, jnp.int32(1023))  # dead lanes last
+        if n < (1 << 21):
+            # single-array sort of (key << 21 | lane): half the sorted bytes
+            # of argsort's (key, iota) pair sort. Max value 1023<<21 | (2^21-1)
+            # = int32 max, so the packed key never wraps negative.
+            packed_key = (key9 << 21) | jnp.arange(n, dtype=jnp.int32)
+            perm = jnp.sort(packed_key) & jnp.int32((1 << 21) - 1)
+        else:
+            perm = jnp.argsort(key9)
         # one row-gather for the whole wavefront (separate [N] gathers cost
         # ~16 ms each; a packed [N, 14] gather costs one)
         packed = jnp.stack(
@@ -609,8 +651,6 @@ def trace_sample_mesh(
             )
         return best
 
-    do_sort = getattr(config, "mesh_ray_sort", True) and not legacy
-
     def bounce_at(carry, pixel, depth, sort: bool):
         if sort:
             carry, pixel = sort_rays(carry, pixel)
@@ -629,8 +669,9 @@ def trace_sample_mesh(
         best = intersect_combined(ox, oy, oz, dx, dy, dz, alive)
         return shade_soa(carry, best, u, scene.materials, depth, config), pixel
 
-    # Primary rays are scanline-coherent already: bounce 0 skips the sort
-    # (one argsort + one [N, 14] row gather saved per sample).
+    # Primary rays are coherent by construction (block order, or scanline
+    # order otherwise): bounce 0 skips the sort (one argsort + one [N, 14]
+    # row gather saved per sample).
     carry, pixel = bounce_at(carry, pixel, jnp.int32(0), sort=False)
 
     def bounce(state, depth):

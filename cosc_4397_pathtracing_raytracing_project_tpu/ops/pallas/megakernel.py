@@ -691,28 +691,29 @@ def _make_kernel(
                 st = bounce(depth, st)
             return accumulate(acc, st)
 
-        def pair_body(p, acc):
-            # Two independent sample chains interleaved at bounce granularity:
+        def group_body(p, acc):
+            # `interleave` independent sample chains advanced bounce-by-bounce:
             # the scheduler can overlap one chain's transcendental/divide
-            # latency with the other's independent arithmetic.
-            it_a = iter_base + 2 * p
-            it_b = it_a + 1
-            st_a = init_sample(it_a)
-            st_b = init_sample(it_b)
-            bounce_a = make_bounce(it_a)
-            bounce_b = make_bounce(it_b)
+            # latency with the others' independent arithmetic. Accumulation
+            # order (ascending iteration) matches sample_body, so the result
+            # is bit-identical for any interleave factor.
+            its = [iter_base + interleave * p + c for c in range(interleave)]
+            sts = [init_sample(it) for it in its]
+            chains = [make_bounce(it) for it in its]
             for depth in range(trace_depth):
-                st_a = bounce_a(depth, st_a)
-                st_b = bounce_b(depth, st_b)
-            return accumulate(accumulate(acc, st_a), st_b)
+                for c in range(interleave):
+                    sts[c] = chains[c](depth, sts[c])
+            for c in range(interleave):
+                acc = accumulate(acc, sts[c])
+            return acc
 
         acc = (
             jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.float32),
         )
-        if interleave == 2 and num_samples % 2 == 0:
-            acc = jax.lax.fori_loop(0, num_samples // 2, pair_body, acc)
+        if interleave > 1 and num_samples % interleave == 0:
+            acc = jax.lax.fori_loop(0, num_samples // interleave, group_body, acc)
         else:
             acc = jax.lax.fori_loop(0, num_samples, sample_body, acc)
         or_ref[:] = acc[0]
@@ -747,9 +748,15 @@ def render_samples(
     precompute it, see parallel.shard)."""
     if geom_kinds is None:
         geom_kinds = _static_geom_kinds(scene)
+    # Interpret mode is a CPU correctness tool: interleaving there only
+    # multiplies the interpreted graph (and under shard_map the slower shards
+    # can miss XLA:CPU's 40 s collective-rendezvous deadline — observed as a
+    # SIGABRT in tests). The group path has its own direct test
+    # (test_megakernel_interleave_bit_identical).
+    interleave = 1 if interpret else INTERLEAVE
     return _render_samples_impl(
         scene, config, seed, iter_base, num_samples, interpret,
-        pixel_offset, num_pixels, ABLATION, INTERLEAVE, geom_kinds,
+        pixel_offset, num_pixels, ABLATION, interleave, geom_kinds,
     )
 
 

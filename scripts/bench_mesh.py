@@ -38,7 +38,17 @@ def main():
     ap.add_argument("--no-sort", action="store_true")
     ap.add_argument("--batch", type=int, default=1,
                     help="samples per jitted dispatch")
+    ap.add_argument("--tile-rows", type=int, default=None,
+                    help="override mesh_kernel.TILE_ROWS (fresh process only)")
     args = ap.parse_args()
+
+    if args.tile_rows is not None:
+        from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import (
+            mesh_kernel,
+        )
+
+        mesh_kernel.TILE_ROWS = args.tile_rows
+        mesh_kernel.TILE = args.tile_rows * mesh_kernel.LANES
 
     from cosc_4397_pathtracing_raytracing_project_tpu import RenderConfig
     from cosc_4397_pathtracing_raytracing_project_tpu.ops import fast

@@ -92,6 +92,24 @@ def test_megakernel_generic_rotation_matches_fast():
     assert corr > 0.7
 
 
+def test_megakernel_interleave_bit_identical(scene):
+    """The interleaved sample-group path (INTERLEAVE dividing num_samples)
+    must produce *bit-identical* output to the sequential path: same RNG
+    streams per (seed, iteration, depth, tile), same ascending-iteration
+    accumulation order."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas.megakernel import (
+        _render_samples_impl,
+        _static_geom_kinds,
+    )
+
+    cfg = RenderConfig(trace_depth=3)
+    kinds = _static_geom_kinds(scene)
+    args = (scene, cfg, jnp.int32(0), jnp.int32(1), 4, True, 0, None, "")
+    seq = np.asarray(_render_samples_impl(*args, 1, kinds))
+    grp = np.asarray(_render_samples_impl(*args, 2, kinds))
+    np.testing.assert_array_equal(seq, grp)
+
+
 def test_megakernel_iteration_decorrelation(scene):
     cfg = RenderConfig(trace_depth=2)
     a = np.asarray(
