@@ -674,16 +674,35 @@ def trace_sample_mesh(
     # row gather saved per sample).
     carry, pixel = bounce_at(carry, pixel, jnp.int32(0), sort=False)
 
-    def bounce(state, depth):
-        carry, pixel = state
-        return bounce_at(carry, pixel, depth, sort=do_sort), None
+    # Sort cadence: a bounce leaves origins inside the tile's previous hit
+    # region (spatially coherent) — only the direction octants scramble — so
+    # sorting every `mesh_sort_every` bounces trades some tile coherence for
+    # one argsort + [N, 14] gather per skipped bounce. The scan body covers
+    # `se` bounces (first sorted); a shorter tail group is unrolled.
+    se = max(1, int(getattr(config, "mesh_sort_every", 1)))
 
-    if config.trace_depth > 1:
-        (carry, pixel), _ = jax.lax.scan(
-            bounce,
-            (carry, pixel),
-            jnp.arange(1, config.trace_depth, dtype=jnp.int32),
-        )
+    def group(state, d0):
+        carry, pixel = state
+        for k in range(se):
+            carry, pixel = bounce_at(
+                carry, pixel, d0 + k, sort=do_sort and k == 0
+            )
+        return (carry, pixel), None
+
+    rem = config.trace_depth - 1
+    if rem > 0:
+        full = rem // se
+        if full:
+            (carry, pixel), _ = jax.lax.scan(
+                group,
+                (carry, pixel),
+                1 + se * jnp.arange(full, dtype=jnp.int32),
+            )
+        for k in range(rem - full * se):
+            carry, pixel = bounce_at(
+                carry, pixel, jnp.int32(1 + full * se + k),
+                sort=do_sort and k == 0,
+            )
     (_, _, _, _, _, _, cr, cg, cb, _, rr_, rg_, rb_) = carry
     if legacy:
         return jnp.stack([cr, cg, cb], axis=-1)

@@ -143,12 +143,15 @@ def _pack_scene(scene: Scene) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
 # args of _render_samples_impl), so flipping them mid-process retraces
 # correctly — no stale-executable trap.
 ABLATION = ""  # '' | 'noprng' | 'nointersect' | 'noscatter'
-# Sample chains interleaved per loop iteration (2 overlaps independent
-# dependency chains at bounce granularity). Fresh-process sweep on Cornell
-# 800×800 (TR=tile rows): TR16/IL1 476, TR16/IL2 501, TR8/IL1 474,
-# TR32/IL1 444 M rays/s. Accumulation order is unchanged (acc+a then +b ==
-# sequential), so IL=2 renders are bit-identical to IL=1.
-INTERLEAVE = 2
+# Sample chains interleaved per loop iteration: N independent chains
+# advanced bounce-by-bounce let the scheduler overlap one chain's
+# transcendental/divide latency with the others' arithmetic. Fresh-process
+# sweep on Cornell 800×800 (TR=tile rows): TR16/IL1 476, TR16/IL2 501,
+# TR16/IL5 528, TR8/IL1 474, TR32/IL1 444 M rays/s. Accumulation order is
+# unchanged (ascending iteration), so renders are bit-identical across
+# interleave factors. The effective factor per call is the largest divisor
+# of num_samples ≤ INTERLEAVE (so any chunk size benefits).
+INTERLEAVE = 5
 
 
 def _static_geom_kinds(scene: Scene):
@@ -753,7 +756,13 @@ def render_samples(
     # can miss XLA:CPU's 40 s collective-rendezvous deadline — observed as a
     # SIGABRT in tests). The group path has its own direct test
     # (test_megakernel_interleave_bit_identical).
-    interleave = 1 if interpret else INTERLEAVE
+    if interpret:
+        interleave = 1
+    else:
+        interleave = max(
+            (d for d in range(1, INTERLEAVE + 1) if num_samples % d == 0),
+            default=1,
+        )
     return _render_samples_impl(
         scene, config, seed, iter_base, num_samples, interpret,
         pixel_offset, num_pixels, ABLATION, interleave, geom_kinds,

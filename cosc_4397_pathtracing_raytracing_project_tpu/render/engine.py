@@ -56,6 +56,13 @@ class RenderConfig:
     # Mesh pipeline: re-sort the wavefront by (origin cell, direction octant)
     # each bounce so tile-level cluster culling survives incoherent bounces.
     mesh_ray_sort: bool = True
+    # Sort every Nth bounce (1 = every bounce). Origins stay tile-coherent
+    # across a bounce; skipping resorts trades direction coherence for one
+    # argsort + wavefront gather per skipped bounce (the [N, 14] gather alone
+    # is ~76 ms at 2M rays — costlier than the argsort). 1080p sweep:
+    # every=1 789, every=2 730 ms/sample. Cadence never changes the image
+    # (pixel-keyed RNG + strict nearest-t winner).
+    mesh_sort_every: int = 2
     # Pipeline: 'pallas' = single-dispatch TPU megakernel (ops.pallas),
     # 'fast' = SoA unrolled XLA hot path (ops.fast), 'reference' = readable
     # [N,3] path (ops.intersect/shade). 'auto' picks the fastest the scene

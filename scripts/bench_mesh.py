@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--no-sort", action="store_true")
     ap.add_argument("--batch", type=int, default=1,
                     help="samples per jitted dispatch")
+    ap.add_argument("--sort-every", type=int, default=1,
+                    help="sort the wavefront every Nth bounce")
     ap.add_argument("--tile-rows", type=int, default=None,
                     help="override mesh_kernel.TILE_ROWS (fresh process only)")
     args = ap.parse_args()
@@ -97,6 +99,7 @@ def main():
         trace_depth=args.depth,
         sky_strength=1.0,
         mesh_ray_sort=not args.no_sort,
+        mesh_sort_every=args.sort_every,
     )
 
     import functools
