@@ -89,12 +89,21 @@ class _HashPrng:
 
     def u01(self, shape):
         self.counter += 1
-        x = self.lane ^ (self.seed * jnp.uint32(0x9E3779B9))
+        if shape == self.lane.shape:
+            lane = self.lane
+        else:  # batched draws: lane ids for the wider block
+            rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            lane = rows * jnp.uint32(shape[1]) + cols
+        x = lane ^ (self.seed * jnp.uint32(0x9E3779B9))
         x = x + jnp.uint32(self.counter) * jnp.uint32(0x85EBCA6B)
         x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
         x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
         x = x ^ (x >> jnp.uint32(16))
-        return (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
+        # Mosaic has no uint32→f32 cast; the top-24 bits are positive, so
+        # bitcast to int32 and cast from there (works on CPU interpret too).
+        top24 = jax.lax.bitcast_convert_type(x >> jnp.uint32(8), jnp.int32)
+        return top24.astype(jnp.float32) * jnp.float32(2.0**-24)
 
 
 def _mix(*xs):
@@ -152,6 +161,13 @@ ABLATION = ""  # '' | 'noprng' | 'nointersect' | 'noscatter'
 # interleave factors. The effective factor per call is the largest divisor
 # of num_samples ≤ INTERLEAVE (so any chunk size benefits).
 INTERLEAVE = 5
+# Pass the gmat/material tables as jit-static immediates (collapses the
+# per-material select chains at compile time). Unproven on the real TPU —
+# the remote compile service degraded (>20 min for ANY shape, including
+# previously-compiled ones) before a clean A/B completed — so the proven
+# SMEM-table config stays the default. Read in the unjitted wrapper, so
+# flipping it mid-process retraces correctly.
+STATIC_TABLES = False
 
 
 def _static_geom_kinds(scene: Scene):
@@ -193,6 +209,39 @@ def _static_geom_kinds(scene: Scene):
     return tuple(kinds)
 
 
+def _static_scene_tables(scene: Scene):
+    """(geo_static, gmat_static, mat_static) — the packed transform,
+    geom-material-id and material tables as nested tuples of python
+    scalars, read from concrete scene arrays.
+
+    Passing them as jit-static turns every per-geom matrix entry and
+    per-material property into an immediate in the kernel: the scalar SMEM
+    loads disappear and the compiler constant-folds the select chains
+    (e.g. materials sharing a zero reflectivity collapse to one constant).
+    Returns ((), ()) when the scene is a tracer (inside shard_map) — callers
+    on that path precompute the tables outside the trace (parallel.shard).
+    Cache note: the executable is keyed on the values, so editing a scene
+    recompiles — correct, since scenes are fixed after load (only the
+    camera stays a traced operand)."""
+    if not STATIC_TABLES:
+        return ((), (), ())
+    try:
+        geo, geo_mat, mats = _pack_scene(scene)
+        gm_v = np.asarray(jax.device_get(geo_mat)).reshape(-1)
+        mat_v = np.asarray(jax.device_get(mats)).reshape(-1, _MF)
+        # NB: geometry matrices stay dynamic (SMEM) on purpose — making the
+        # 21 floats/geom immediates sent the remote XLA compile past 20 min
+        # (constant folding through the fully-unrolled sample loop); the
+        # material/gmat immediates are what collapse the select chains.
+        return (
+            (),
+            tuple(int(x) for x in gm_v),
+            tuple(tuple(float(x) for x in row) for row in mat_v),
+        )
+    except Exception:
+        return ((), (), ())
+
+
 def _make_kernel(
     *,
     num_cubes: int,
@@ -211,6 +260,9 @@ def _make_kernel(
     interleave: int = 1,
     enable_refraction: bool = False,
     geom_kinds: tuple = (),
+    geo_static: tuple = (),
+    gmat_static: tuple = (),
+    mat_static: tuple = (),
 ):
     k_total = num_cubes + num_spheres
     if not geom_kinds:
@@ -248,22 +300,39 @@ def _make_kernel(
                 soft_prng.reseed(value)
 
         def draw_u01():
+            # NB: batching k draws into one prng call of a [k·R, 128] block
+            # (then slicing) measured 3% SLOWER at IL=5 — per-draw cost is
+            # element-wise, not per-call, and the wide block spills registers.
             return _u01(shape) if hw_prng else soft_prng.u01(shape)
 
-        # Hoist every scalar table read to kernel entry: SMEM loads inside the
-        # sample/bounce loops would re-issue on the scalar unit each iteration
-        # and stall the vector pipeline.
-        geo_rows = []
-        for k in range(k_total):
-            base = k * _GF
-            iv = [geo_ref[base + j] for j in range(12)]
-            it = [geo_ref[base + 12 + j] for j in range(9)]
-            geo_rows.append((iv, it))
-        gmat = [gmat_ref[k] for k in range(k_total)]
-        mat_rows = [
-            [mat_ref[i * _MF + j] for j in range(_MF)]
-            for i in range(num_materials)
-        ]
+        # Scene tables: static immediates when available (geometry and
+        # materials are fixed after scene load — the compiler folds shared
+        # constants and dead selects away), otherwise scalar SMEM reads
+        # hoisted to kernel entry (loads inside the sample/bounce loops
+        # would re-issue on the scalar unit each iteration and stall the
+        # vector pipeline).
+        if geo_static:
+            geo_rows = [
+                (list(row[:12]), list(row[12:21])) for row in geo_static
+            ]
+        else:
+            geo_rows = []
+            for k in range(k_total):
+                base = k * _GF
+                iv = [geo_ref[base + j] for j in range(12)]
+                it = [geo_ref[base + 12 + j] for j in range(9)]
+                geo_rows.append((iv, it))
+        if gmat_static:
+            gmat = list(gmat_static)
+        else:
+            gmat = [gmat_ref[k] for k in range(k_total)]
+        if mat_static:
+            mat_rows = [list(row) for row in mat_static]
+        else:
+            mat_rows = [
+                [mat_ref[i * _MF + j] for j in range(_MF)]
+                for i in range(num_materials)
+            ]
 
         def raygen(fx, fy):
             # ── raygen (generateRayFromCamera, `pathtrace.cu:270-286`) ──
@@ -742,15 +811,19 @@ def render_samples(
     pixel_offset=0,
     num_pixels=None,
     geom_kinds=None,
+    scene_static=None,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch (public wrapper;
     forwards the module-level ABLATION/INTERLEAVE knobs as jit-static args so
     the executable cache keys on them). `geom_kinds` (static) carries the
-    per-geom axis-aligned specialization; when None it is derived from the
-    scene's concrete arrays (callers inside a trace — shard_map — must
-    precompute it, see parallel.shard)."""
+    per-geom axis-aligned specialization and `scene_static` the immediate
+    geometry/material tables (_static_scene_tables); when None they are
+    derived from the scene's concrete arrays (callers inside a trace —
+    shard_map — must precompute them, see parallel.shard)."""
     if geom_kinds is None:
         geom_kinds = _static_geom_kinds(scene)
+    if scene_static is None:
+        scene_static = _static_scene_tables(scene)
     # Interpret mode is a CPU correctness tool: interleaving there only
     # multiplies the interpreted graph (and under shard_map the slower shards
     # can miss XLA:CPU's 40 s collective-rendezvous deadline — observed as a
@@ -766,6 +839,7 @@ def render_samples(
     return _render_samples_impl(
         scene, config, seed, iter_base, num_samples, interpret,
         pixel_offset, num_pixels, ABLATION, interleave, geom_kinds,
+        scene_static,
     )
 
 
@@ -773,7 +847,7 @@ def render_samples(
     jax.jit,
     static_argnames=(
         "config", "num_samples", "interpret", "num_pixels",
-        "ablation", "interleave", "geom_kinds",
+        "ablation", "interleave", "geom_kinds", "scene_static",
     ),
 )
 def _render_samples_impl(
@@ -788,6 +862,7 @@ def _render_samples_impl(
     ablation: str = "",
     interleave: int = 1,
     geom_kinds: tuple = (),
+    scene_static: tuple = ((), (), ()),
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch.
 
@@ -852,6 +927,9 @@ def _render_samples_impl(
         interleave=interleave,
         enable_refraction=getattr(config, "enable_refraction", False),
         geom_kinds=geom_kinds,
+        geo_static=scene_static[0],
+        gmat_static=scene_static[1],
+        mat_static=scene_static[2],
     )
 
     grid = n_pad // TILE

@@ -104,6 +104,7 @@ def render_chunk_sharded_pallas(
     mesh: Mesh,
     interpret: bool = False,
     geom_kinds=None,
+    scene_static=None,
 ) -> RenderState:
     """Multi-chip megakernel step: each dp rank runs the single-dispatch
     Pallas megakernel (ops.pallas.megakernel) on its contiguous pixel slice;
@@ -126,6 +127,10 @@ def render_chunk_sharded_pallas(
         # axis-aligned specialization here (concrete on the direct call path;
         # make_sharded_pallas_step passes it through its closure)
         geom_kinds = megakernel._static_geom_kinds(scene)
+    if scene_static is None:
+        # falls back to ((), (), ()) — dynamic SMEM tables — when the scene
+        # is a tracer; make_sharded_pallas_step passes the concrete tables
+        scene_static = megakernel._static_scene_tables(scene)
 
     def body(scene, accum_local, iteration, key):
         dp = jax.lax.axis_index(PIXEL_AXIS)
@@ -145,6 +150,7 @@ def render_chunk_sharded_pallas(
             pixel_offset=offset,
             num_pixels=local_pixels,
             geom_kinds=geom_kinds,
+            scene_static=scene_static,
         )
         rad = jax.lax.psum(rad, SAMPLE_AXIS)
         return accum_local + rad
@@ -187,6 +193,7 @@ def make_sharded_pallas_step(
         # derived here while the scene is concrete — inside the jit trace
         # below the scene arrays are tracers
         geom_kinds=megakernel._static_geom_kinds(scene),
+        scene_static=megakernel._static_scene_tables(scene),
     )
     return jax.jit(lambda scene, state: fn(scene, state))
 

@@ -195,9 +195,20 @@ def render_chunk(
 PALLAS_CHUNK = 50
 
 
-def make_pallas_step(interpret: bool = False):
-    """Step function driving the single-dispatch TPU megakernel."""
+def make_pallas_step(interpret: bool = False, scene: Scene = None):
+    """Step function driving the single-dispatch TPU megakernel.
+
+    When `scene` is given, the jit-static geometry specialization and
+    immediate scene tables are derived ONCE here — deriving them per chunk
+    costs a device fetch of the packed tables every call (a network
+    round-trip on a remote TPU). Geometry/materials are fixed after load
+    (set_camera replaces only the camera), so the closure stays valid."""
     from ..ops.pallas import megakernel
+
+    geom_kinds = scene_static = None
+    if scene is not None:
+        geom_kinds = megakernel._static_geom_kinds(scene)
+        scene_static = megakernel._static_scene_tables(scene)
 
     def step(scene, state: RenderState, config: RenderConfig, num_samples: int):
         accum = state.accum
@@ -213,6 +224,8 @@ def make_pallas_step(interpret: bool = False):
                 state.iteration + jnp.int32(1 + done),
                 k,
                 interpret=interpret,
+                geom_kinds=geom_kinds,
+                scene_static=scene_static,
             )
             done += k
         return state.replace(
@@ -323,7 +336,7 @@ class Renderer:
             self._intersector = make_intersector(self.scene, config)
 
         if pipeline == "pallas":
-            self._step = make_pallas_step()
+            self._step = make_pallas_step(scene=self.scene)
         elif pipeline == "fast_mesh":
             self._step = make_mesh_step(self.scene)
         else:
