@@ -110,6 +110,29 @@ def test_megakernel_interleave_bit_identical(scene):
     np.testing.assert_array_equal(seq, grp)
 
 
+def test_megakernel_static_tables_bit_identical(scene):
+    """STATIC_TABLES=True (gmat/material tables as jit-static immediates)
+    must be bit-identical to the SMEM-table default: same values, only
+    their compile-time representation changes."""
+    cfg = RenderConfig(trace_depth=3)
+    base = np.asarray(
+        megakernel.render_samples(
+            scene, cfg, jnp.int32(0), jnp.int32(1), 1, interpret=True
+        )
+    )
+    old = megakernel.STATIC_TABLES
+    megakernel.STATIC_TABLES = True
+    try:
+        static = np.asarray(
+            megakernel.render_samples(
+                scene, cfg, jnp.int32(0), jnp.int32(1), 1, interpret=True
+            )
+        )
+    finally:
+        megakernel.STATIC_TABLES = old
+    np.testing.assert_array_equal(base, static)
+
+
 def test_megakernel_iteration_decorrelation(scene):
     cfg = RenderConfig(trace_depth=2)
     a = np.asarray(
