@@ -29,6 +29,7 @@ def small_tiles():
 
 
 @pytest.mark.parametrize("mode", ["light_only", "throughput"])
+@pytest.mark.slow
 def test_megakernel_matches_fast_pipeline(scene, mode):
     # interpret mode runs at Python speed: keep the workload tiny
     cfg = RenderConfig(gather_mode=mode, trace_depth=4)
@@ -57,6 +58,7 @@ def test_megakernel_matches_fast_pipeline(scene, mode):
         assert corr > 0.7
 
 
+@pytest.mark.slow
 def test_megakernel_generic_rotation_matches_fast():
     """A 45°-rotated cube exercises the megakernel's generic (non
     axis-aligned) transform + in-loop world-normal path; CORNELL_SMALL's
@@ -92,6 +94,7 @@ def test_megakernel_generic_rotation_matches_fast():
     assert corr > 0.7
 
 
+@pytest.mark.slow
 def test_megakernel_interleave_bit_identical(scene):
     """The interleaved sample-group path (INTERLEAVE dividing num_samples)
     must produce *bit-identical* output to the sequential path: same RNG
@@ -110,6 +113,7 @@ def test_megakernel_interleave_bit_identical(scene):
     np.testing.assert_array_equal(seq, grp)
 
 
+@pytest.mark.slow
 def test_megakernel_static_tables_bit_identical(scene):
     """STATIC_TABLES=True (gmat/material tables as jit-static immediates)
     must be bit-identical to the SMEM-table default: same values, only

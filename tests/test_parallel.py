@@ -86,6 +86,7 @@ def test_output_sharding_layout(small_scene):
     assert shard_shapes == {(64 * 64 // 8, 3)}
 
 
+@pytest.mark.slow
 def test_sharded_megakernel_matches_single_device():
     """The flagship Pallas megakernel inside shard_map: TILE-aligned dp
     shards reproduce the single-device megakernel image (global tile-base
