@@ -523,6 +523,14 @@ def trace_sample_mesh(
     n = num_pixels if num_pixels is not None else cam.pixel_count
     legacy = config.gather_mode == "throughput"
     has_analytic = scene.cubes.count + scene.spheres.count > 0
+    if n >= (1 << 24):
+        # pixel ids ride the packed [N, 14] f32 gather and the hash-uniform
+        # keys; above 2^24 they are no longer exactly representable in f32
+        # and radiance would scatter to wrong pixels. 16.7M rays = beyond 8K
+        # frames; shard the frame (parallel.shard) instead.
+        raise ValueError(
+            f"trace_sample_mesh supports at most 2^24 rays per call, got {n}"
+        )
 
     do_sort = getattr(config, "mesh_ray_sort", True) and not legacy
     # Block-ordered primary rays: only when the final unsort already exists

@@ -812,6 +812,7 @@ def render_samples(
     num_pixels=None,
     geom_kinds=None,
     scene_static=None,
+    tile_base=None,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch (public wrapper;
     forwards the module-level ABLATION/INTERLEAVE knobs as jit-static args so
@@ -839,7 +840,7 @@ def render_samples(
     return _render_samples_impl(
         scene, config, seed, iter_base, num_samples, interpret,
         pixel_offset, num_pixels, ABLATION, interleave, geom_kinds,
-        scene_static,
+        scene_static, tile_base,
     )
 
 
@@ -863,6 +864,7 @@ def _render_samples_impl(
     interleave: int = 1,
     geom_kinds: tuple = (),
     scene_static: tuple = ((), (), ()),
+    tile_base=None,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch.
 
@@ -878,8 +880,12 @@ def _render_samples_impl(
     n_pad = ((n + TILE - 1) // TILE) * TILE
     rows = n_pad // LANES
 
-    if num_pixels is None and isinstance(pixel_offset, int) and pixel_offset == 0:
-        # full frame: iota avoids integer div/mod on device
+    if num_pixels is None:
+        # full frame (pixel_offset is 0 on this path — only the dp-sharded
+        # caller slices, and it always sets num_pixels): iota avoids integer
+        # div/mod on device. NB: the old additional `isinstance(pixel_offset,
+        # int)` test was always False under jit (non-static args are
+        # tracers), which silently disabled this branch.
         col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         px = col.reshape(-1).astype(jnp.float32)
@@ -888,13 +894,18 @@ def _render_samples_impl(
         if pad:
             px = jnp.concatenate([px, jnp.zeros((pad,), jnp.float32)])
             py = jnp.concatenate([py, jnp.zeros((pad,), jnp.float32)])
-        tile_base = jnp.int32(0)
+        tile_base_ = jnp.int32(0)
     else:
         off = jnp.asarray(pixel_offset, jnp.int32)
         idx = jnp.minimum(off + jnp.arange(n_pad, dtype=jnp.int32), w * h - 1)
         px = (idx % w).astype(jnp.float32)
         py = (idx // w).astype(jnp.float32)
-        tile_base = off // jnp.int32(TILE)
+        tile_base_ = off // jnp.int32(TILE)
+    if tile_base is not None:
+        # caller-supplied global tile id base (the dp-sharded path: offset
+        # // TILE collides across shards whose slice is smaller than TILE,
+        # which would hand different pixel regions identical RNG streams)
+        tile_base_ = jnp.asarray(tile_base, jnp.int32)
     px = px.reshape(rows, LANES)
     py = py.reshape(rows, LANES)
 
@@ -906,7 +917,7 @@ def _render_samples_impl(
         [
             jnp.asarray(seed, jnp.int32),
             jnp.asarray(iter_base, jnp.int32),
-            jnp.asarray(tile_base, jnp.int32),
+            tile_base_,
         ]
     )
 

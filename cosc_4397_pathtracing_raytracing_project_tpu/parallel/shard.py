@@ -132,6 +132,15 @@ def render_chunk_sharded_pallas(
         # is a tracer; make_sharded_pallas_step passes the concrete tables
         scene_static = megakernel._static_scene_tables(scene)
 
+    # Each shard's kernel tiles seed RNG as (global tile_base + local tile).
+    # tile_base must be unique per shard: offset // TILE collides when the
+    # per-shard slice is smaller than one TILE (two shards would then draw
+    # identical uniforms for different pixel regions — spatially correlated
+    # noise that never averages out). dp · ceil(local/TILE) is unique for
+    # any alignment and equals offset // TILE exactly when the slice is
+    # TILE-aligned, preserving bit-identity with the single-device render.
+    tiles_per_shard = (local_pixels + megakernel.TILE - 1) // megakernel.TILE
+
     def body(scene, accum_local, iteration, key):
         dp = jax.lax.axis_index(PIXEL_AXIS)
         sp = jax.lax.axis_index(SAMPLE_AXIS)
@@ -151,6 +160,7 @@ def render_chunk_sharded_pallas(
             num_pixels=local_pixels,
             geom_kinds=geom_kinds,
             scene_static=scene_static,
+            tile_base=dp * jnp.int32(tiles_per_shard),
         )
         rad = jax.lax.psum(rad, SAMPLE_AXIS)
         return accum_local + rad

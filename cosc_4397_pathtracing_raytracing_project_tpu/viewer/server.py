@@ -86,7 +86,8 @@ class PreviewServer:
         self._stop = threading.Event()
         self._render_thread = None
         self._httpd = None
-        self._frame_cache = (-1, b"")  # (iteration, png bytes)
+        self._frame_cache = (-1, -1, b"")  # (camera gen, iteration, png)
+        self._camera_gen = 0  # bumped on every camera rebuild
         self._frame_times: list = []  # recent distinct-frame timestamps
 
     # ── render loop (the mainLoop/runCuda analog) ──
@@ -97,6 +98,7 @@ class PreviewServer:
                 if self.controls.changed:
                     # camera change → rebuild basis, reset accumulation
                     self.renderer.set_camera(self.controls.camera())
+                    self._camera_gen += 1
                 target = self.renderer.target_iterations or 0
             if target and self.renderer.iteration >= target:
                 self._stop.wait(0.1)
@@ -105,17 +107,20 @@ class PreviewServer:
 
     def frame_png(self) -> bytes:
         # re-encode only when the accumulator advanced — polls between
-        # render steps are free, so the client can poll fast
-        it = self.renderer.iteration
-        cached_it, cached = self._frame_cache
-        if it == cached_it and cached:
+        # render steps are free, so the client can poll fast. Keyed by
+        # (camera generation, iteration): iteration alone collides after a
+        # camera reset (iteration restarts, a coinciding value would serve
+        # the pre-move frame).
+        gen, it = self._camera_gen, self.renderer.iteration
+        cached_gen, cached_it, cached = self._frame_cache
+        if gen == cached_gen and it == cached_it and cached:
             return cached
         img = self.renderer.display_image()[:, ::-1, :]
         png = encode_png(img, compress_level=1)
         import time as _time
 
         with self._lock:
-            self._frame_cache = (it, png)
+            self._frame_cache = (gen, it, png)
             self._frame_times.append(_time.monotonic())
             if len(self._frame_times) > 20:
                 self._frame_times = self._frame_times[-20:]
@@ -185,15 +190,15 @@ class PreviewServer:
                 # CSRF guard: /control is state-mutating, so reject
                 # cross-origin browser posts (any webpage can POST to
                 # localhost; the viewer page itself sends same-origin).
+                # Same-origin = the Origin's host:port equals the Host
+                # header the request arrived on — a fixed hostname
+                # allowlist broke 0.0.0.0 binds reached via a LAN IP.
                 origin = self.headers.get("Origin")
                 if origin is not None:
                     from urllib.parse import urlparse
 
-                    if urlparse(origin).hostname not in (
-                        "localhost",
-                        "127.0.0.1",
-                        server.host,
-                    ):
+                    host_hdr = (self.headers.get("Host") or "").strip()
+                    if urlparse(origin).netloc != host_hdr:
                         self._send(403, "application/json", b'{"error":"origin"}')
                         return
                 length = int(self.headers.get("Content-Length", 0))

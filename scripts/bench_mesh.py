@@ -90,8 +90,11 @@ def main():
             tmin, tmax, leaf_size=8
         )
         o = bvh.order
+        # pass the BVH so the sweep measures the production treelet
+        # partition (without it the fallback fixed-run partition with
+        # looser AABBs is benchmarked — not comparable to the default)
         cluster = ClusterMeshIntersector(
-            v0[o], e1[o], e2[o], mat[o], cluster_size=args.cluster
+            v0[o], e1[o], e2[o], mat[o], cluster_size=args.cluster, bvh=bvh
         )
     else:
         cluster = make_mesh_intersector(scene)

@@ -124,6 +124,46 @@ def test_sharded_megakernel_matches_single_device():
     np.testing.assert_array_equal(np.asarray(out1.accum), single)
 
 
+@pytest.mark.slow
+def test_sharded_megakernel_misaligned_shards_decorrelate():
+    """dp shards smaller than one megakernel TILE must still draw distinct
+    RNG streams: tile_base is dp·ceil(local/TILE), not offset//TILE (which
+    collides below one TILE per shard — regression test for spatially
+    correlated noise across shard pairs)."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import megakernel
+    from cosc_4397_pathtracing_raytracing_project_tpu.parallel import (
+        make_sharded_pallas_step,
+    )
+
+    desc = parse_scene(CORNELL_SMALL)
+    desc.camera.resolution = (64, 64)  # 4096 px: dp=8 → 512 px/shard < TILE
+    scene = Scene.from_desc(desc)
+    cfg = RenderConfig(trace_depth=2)
+    state = RenderState.create(scene.camera.pixel_count, seed=0)
+    assert scene.camera.pixel_count // 8 < megakernel.TILE
+
+    mesh = make_mesh(8, sample_parallel=1)
+    step = make_sharded_pallas_step(scene, cfg, 2, mesh, interpret=True)
+    out = np.asarray(step(scene, state).accum)
+    assert np.isfinite(out).all() and out.max() > 0
+
+    # identical tile_base would give shard pairs identical uniform draws:
+    # pixel-wise noise residuals of adjacent shards would correlate. The
+    # camera rows differ per shard, so compare the *noise* of two shards
+    # rendering the same geometry rows via a second seed.
+    state_b = RenderState.create(scene.camera.pixel_count, seed=123)
+    out_b = np.asarray(step(scene, state_b).accum)
+    noise = (out - out_b).reshape(8, -1)  # per-shard noise realization
+    for a in range(4):
+        # shards a and a+1 shared a tile_base under the bug
+        ra = noise[a].ravel()
+        rb = noise[a + 1].ravel()
+        denom = np.linalg.norm(ra) * np.linalg.norm(rb)
+        if denom > 0:
+            corr = float(ra @ rb / denom)
+            assert abs(corr) < 0.5, f"shards {a},{a+1} correlated: {corr}"
+
+
 def test_indivisible_configs_raise(small_scene):
     mesh = make_mesh(8, sample_parallel=2)
     state = RenderState.create(small_scene.camera.pixel_count, seed=0)
