@@ -28,13 +28,13 @@ body { background:#111; color:#ddd; font-family:monospace; margin:0 }
 #wrap { display:flex } canvas { cursor:grab }
 #hud { padding:12px; white-space:pre; font-size:12px }
 </style></head><body>
-<div id="wrap"><canvas id="c"></canvas><div id="hud">loading…</div></div>
+<div id="wrap"><img id="c" draggable="false"><div id="hud">loading…</div></div>
 <script>
 const c = document.getElementById('c'), hud = document.getElementById('hud');
-const ctx = c.getContext('2d');
 let drag = null;
 c.oncontextmenu = e => e.preventDefault();
-c.onmousedown = e => { drag = {x: e.clientX, y: e.clientY, b: e.button, shift: e.shiftKey}; };
+c.onmousedown = e => { e.preventDefault();
+  drag = {x: e.clientX, y: e.clientY, b: e.button, shift: e.shiftKey}; };
 window.onmouseup = () => drag = null;
 window.onmousemove = e => {
   if (!drag) return;
@@ -47,23 +47,28 @@ window.onkeydown = e => {
   if (['s','S',' ','Escape'].includes(e.key))
     fetch('/control', {method:'POST', body: JSON.stringify({type:'key', key:e.key})});
 };
-let statTick = 0;
-async function tick() {
-  // frame fetch drives the cadence: the server re-encodes only when the
-  // accumulator advanced, so a fast poll is cheap
-  const img = new Image();
-  const done = new Promise(res => { img.onload = () => {
-    c.width = img.width; c.height = img.height; ctx.drawImage(img, 0, 0); res();
-  }; img.onerror = res; });
-  img.src = '/frame.png?t=' + Date.now();
-  await done;
-  if ((statTick++ & 3) === 0) {
+// Server-push display: /stream is a multipart/x-mixed-replace PNG stream
+// (frames push as soon as the accumulator advances — no poll latency).
+// If the browser drops multipart (or the stream errors), fall back to
+// polling /frame.png.
+let polling = false;
+function poll() {
+  if (polling) return; polling = true;
+  (function tick() {
+    c.src = '/frame.png?t=' + Date.now();
+    setTimeout(tick, 60);
+  })();
+}
+c.onerror = poll;
+c.src = '/stream';
+setTimeout(() => { if (!c.naturalWidth) poll(); }, 3000);
+(async function stats() {
+  try {
     const s = await (await fetch('/stats')).json();
     hud.textContent = s.text;
-  }
-  setTimeout(tick, 60);
-}
-tick();
+  } catch (e) {}
+  setTimeout(stats, 250);
+})();
 </script></body></html>"""
 
 
@@ -180,6 +185,41 @@ class PreviewServer:
             def do_GET(self):
                 if self.path.startswith("/frame.png"):
                     self._send(200, "image/png", server.frame_png())
+                elif self.path.startswith("/stream"):
+                    # server-push preview: one long-lived multipart
+                    # response; a new part is written the moment the
+                    # accumulator advances (ThreadingHTTPServer gives this
+                    # connection its own thread, so control/stats requests
+                    # keep flowing). The reference redraws from the CUDA-GL
+                    # PBO every frame (`src/preview.cpp:235-259`); this is
+                    # the push-display analog for a browser client.
+                    import time as _time
+
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=frame",
+                    )
+                    self.end_headers()
+                    last = None
+                    try:
+                        while not server._stop.is_set():
+                            png = server.frame_png()
+                            key = server._frame_cache[:2]
+                            if key != last:
+                                last = key
+                                self.wfile.write(
+                                    b"--frame\r\n"
+                                    b"Content-Type: image/png\r\n"
+                                    + f"Content-Length: {len(png)}\r\n\r\n".encode()
+                                    + png
+                                    + b"\r\n"
+                                )
+                                self.wfile.flush()
+                            else:
+                                _time.sleep(0.03)
+                    except (BrokenPipeError, ConnectionError, OSError):
+                        pass  # client navigated away
                 elif self.path.startswith("/stats"):
                     body = json.dumps({"text": server.stats_text()}).encode()
                     self._send(200, "application/json", body)

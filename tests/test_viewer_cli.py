@@ -156,5 +156,17 @@ def test_preview_server(small_desc):
             method="POST",
         )
         urllib.request.urlopen(req, timeout=10).read()
+        # multipart push stream delivers at least two PNG parts as the
+        # accumulator advances
+        resp = urllib.request.urlopen(base + "/stream", timeout=30)
+        assert "multipart/x-mixed-replace" in resp.headers.get("Content-Type", "")
+        buf = b""
+        import time as _time
+
+        deadline = _time.monotonic() + 60
+        while buf.count(b"\x89PNG") < 2 and _time.monotonic() < deadline:
+            buf += resp.read1(65536)
+        assert buf.count(b"--frame") >= 2
+        assert buf.count(b"\x89PNG") >= 2
     finally:
         srv.stop()
