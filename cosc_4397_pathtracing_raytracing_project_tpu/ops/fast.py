@@ -612,6 +612,20 @@ def trace_sample_mesh(
         cz = jnp.clip(((oz - lo[2]) * cell_scale[2]).astype(jnp.int32), 0, 3)
         key9 = octant + 8 * (cx + 4 * cy + 16 * cz)  # ≤ 519, 10 bits
         key9 = jnp.where(alive, key9, jnp.int32(1023))  # dead lanes last
+        if getattr(config, "mesh_sort_fused", False):
+            # one fused stable sort carrying all 14 payload operands: the
+            # sort network moves payloads in vector form instead of the
+            # argsort + [N, 14] row gather (XLA's TPU gather is ~60× off
+            # memory speed-of-light). Stable + same key ⇒ identical
+            # permutation to the argsort path; ints ride natively (no f32
+            # round-trip, so no 2^24 pixel-id ceiling on this path).
+            out = jax.lax.sort(
+                (key9, ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
+                 rr_, rg_, rb_, pixel),
+                num_keys=1,
+                is_stable=True,
+            )
+            return out[1:14], out[14]
         if n < (1 << 21):
             # single-array sort of (key << 21 | lane): half the sorted bytes
             # of argsort's (key, iota) pair sort. Max value 1023<<21 | (2^21-1)

@@ -63,6 +63,10 @@ class RenderConfig:
     # every=1 789, every=2 730 ms/sample. Cadence never changes the image
     # (pixel-keyed RNG + strict nearest-t winner).
     mesh_sort_every: int = 2
+    # Fused lax.sort carrying all wavefront payloads instead of argsort +
+    # row gather (identical permutation, stable sort). Off by default until
+    # measured on TPU.
+    mesh_sort_fused: bool = False
     # Pipeline: 'pallas' = single-dispatch TPU megakernel (ops.pallas),
     # 'fast' = SoA unrolled XLA hot path (ops.fast), 'reference' = readable
     # [N,3] path (ops.intersect/shade). 'auto' picks the fastest the scene

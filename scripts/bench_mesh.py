@@ -40,6 +40,8 @@ def main():
                     help="samples per jitted dispatch")
     ap.add_argument("--sort-every", type=int, default=1,
                     help="sort the wavefront every Nth bounce")
+    ap.add_argument("--fused-sort", action="store_true",
+                    help="fused lax.sort with payloads instead of argsort+gather")
     ap.add_argument("--tile-rows", type=int, default=None,
                     help="override mesh_kernel.TILE_ROWS (fresh process only)")
     args = ap.parse_args()
@@ -103,6 +105,7 @@ def main():
         sky_strength=1.0,
         mesh_ray_sort=not args.no_sort,
         mesh_sort_every=args.sort_every,
+        mesh_sort_fused=args.fused_sort,
     )
 
     import functools

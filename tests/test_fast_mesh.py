@@ -85,6 +85,20 @@ def test_mesh_ray_sort_image_invariant(tri_scene):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
+def test_mesh_fused_sort_bit_identical(tri_scene):
+    """mesh_sort_fused (one lax.sort carrying all payloads) must produce the
+    exact permutation of the argsort+gather path: stable sort, same key."""
+    import dataclasses
+
+    cfg = RenderConfig(trace_depth=4, sky_strength=0.5)
+    cfg_fused = dataclasses.replace(cfg, mesh_sort_fused=True)
+    cluster = make_mesh_intersector(tri_scene, interpret=True)
+    key = jax.random.PRNGKey(3)
+    a = fast.trace_sample_mesh(tri_scene, cfg, key, jnp.int32(1), cluster)
+    b = fast.trace_sample_mesh(tri_scene, cfg_fused, key, jnp.int32(1), cluster)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mesh_pipeline_matches_reference(tri_scene):
     cfg = RenderConfig(trace_depth=4, sky_strength=0.5)
     cluster = make_mesh_intersector(tri_scene, interpret=True)
