@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="environment sky strength (light_only mode)")
     p.add_argument("--antialias", action="store_true",
                    help="sub-pixel jitter (the reference has none)")
+    p.add_argument("--refraction", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="dielectric refraction via REFRIOR (extension; the "
+                        "reference parses but never refracts). auto = on "
+                        "when any material has REFR>0 and REFRIOR>0")
     p.add_argument("--depth", type=int, default=None, help="override DEPTH")
     p.add_argument("--chunk", type=int, default=25,
                    help="samples per device launch")
@@ -62,12 +67,19 @@ def main(argv=None) -> int:
     from ..scene.parser import load_scene_desc
 
     desc = load_scene_desc(args.scene)
+    if args.refraction == "auto":
+        refraction = any(
+            r > 0 and i > 0 for r, i in zip(desc.refractive, desc.ior)
+        )
+    else:
+        refraction = args.refraction == "on"
     config = RenderConfig(
         trace_depth=args.depth if args.depth is not None else desc.trace_depth,
         antialias=args.antialias,
         gather_mode=args.estimator,
         sky_strength=args.sky,
         samples_per_launch=args.chunk,
+        enable_refraction=refraction,
     )
     if args.model == "auto":
         renderer = Renderer(desc, config, seed=args.seed)
