@@ -523,14 +523,16 @@ def trace_sample_mesh(
     n = num_pixels if num_pixels is not None else cam.pixel_count
     legacy = config.gather_mode == "throughput"
     has_analytic = scene.cubes.count + scene.spheres.count > 0
-    if n >= (1 << 24):
-        # pixel ids ride the packed [N, 14] f32 gather and the hash-uniform
-        # keys; above 2^24 they are no longer exactly representable in f32
-        # and radiance would scatter to wrong pixels. 16.7M rays = beyond 8K
-        # frames; shard the frame (parallel.shard) instead.
-        raise ValueError(
-            f"trace_sample_mesh supports at most 2^24 rays per call, got {n}"
-        )
+    if w * h >= (1 << 24):
+        # (global) pixel ids ride the packed [N, 14] f32 gather; above 2^24
+        # they are no longer exactly representable in f32 and radiance would
+        # scatter to wrong pixels. 16.7M pixels = beyond 8K frames; use the
+        # fused sort (int-native) or tile the frame externally.
+        if not getattr(config, "mesh_sort_fused", False):
+            raise ValueError(
+                f"frames with {w * h} pixels need mesh_sort_fused=True "
+                "(pixel ids exceed exact f32 range)"
+            )
 
     do_sort = getattr(config, "mesh_ray_sort", True) and not legacy
     # Block-ordered primary rays: only when the final unsort already exists
@@ -573,7 +575,12 @@ def trace_sample_mesh(
         jnp.full((n,), config.trace_depth, jnp.int32),
         zeros, zeros, zeros,
     )
-    pixel = local  # ray i carries (local) pixel id local[i] through reorders
+    # Ray i carries its GLOBAL pixel id through reorders: the per-bounce
+    # hash uniforms key on it, so dp shards rendering different slices draw
+    # decorrelated streams (local ids would repeat across shards), and a
+    # sharded render is bit-identical per pixel to the single-device one.
+    # The final unsort argsort(pixel) is offset-invariant (monotonic shift).
+    pixel = idx
 
     # scene bounds for the origin-cell sort key
     if getattr(config, "mesh_ray_sort", True):

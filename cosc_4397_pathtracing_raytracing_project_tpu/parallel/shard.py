@@ -208,6 +208,98 @@ def make_sharded_pallas_step(
     return jax.jit(lambda scene, state: fn(scene, state))
 
 
+def render_chunk_sharded_mesh(
+    scene: Scene,
+    state: RenderState,
+    config: RenderConfig,
+    num_samples: int,
+    mesh: Mesh,
+    cluster_isect,
+) -> RenderState:
+    """Multi-chip triangle-mesh step: each dp rank runs the sorted-wavefront
+    mesh pipeline (ops.fast.trace_sample_mesh + the cluster-culled Pallas
+    kernel) on its contiguous pixel slice; sp ranks split samples and
+    combine with one psum. The cluster tables are replicated (a few MB).
+    RNG keys on the *global* pixel id, so every shard traces exactly the
+    paths the single-device render would; per-pixel results match to float
+    reassociation (1-2 ulp — XLA fuses the differently-shaped per-shard
+    graphs differently)."""
+    from ..ops import fast
+
+    n_total = scene.camera.pixel_count
+    n_dp = mesh.shape[PIXEL_AXIS]
+    n_sp = mesh.shape[SAMPLE_AXIS]
+    if n_total % n_dp != 0:
+        raise ValueError(f"pixel count {n_total} not divisible by dp={n_dp}")
+    if num_samples % n_sp != 0:
+        raise ValueError(f"num_samples {num_samples} not divisible by sp={n_sp}")
+    local_pixels = n_total // n_dp
+    local_samples = num_samples // n_sp
+
+    def body(scene, accum_local, iteration, key):
+        dp = jax.lax.axis_index(PIXEL_AXIS)
+        sp = jax.lax.axis_index(SAMPLE_AXIS)
+        offset = dp * jnp.int32(local_pixels)
+
+        def one(acc, i):
+            it = iteration + 1 + sp * jnp.int32(local_samples) + i
+            color = fast.trace_sample_mesh(
+                scene, config, key, it, cluster_isect,
+                pixel_offset=offset, num_pixels=local_pixels,
+            )
+            return acc + color, None
+
+        rad, _ = jax.lax.scan(
+            one,
+            jnp.zeros((local_pixels, 3), jnp.float32),
+            jnp.arange(local_samples, dtype=jnp.int32),
+        )
+        rad = jax.lax.psum(rad, SAMPLE_AXIS)
+        return accum_local + rad
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(PIXEL_AXIS, None), P(), P()),
+        out_specs=P(PIXEL_AXIS, None),
+        check_vma=False,
+    )
+    from jax.sharding import NamedSharding
+
+    scene = jax.device_put(scene, NamedSharding(mesh, P()))
+    accum_in = jax.device_put(state.accum, NamedSharding(mesh, P(PIXEL_AXIS, None)))
+    iteration = jax.device_put(state.iteration, NamedSharding(mesh, P()))
+    key = jax.device_put(state.key, NamedSharding(mesh, P()))
+    accum = sharded(scene, accum_in, iteration, key)
+    return state.replace(
+        accum=accum, iteration=state.iteration + jnp.int32(num_samples)
+    )
+
+
+def make_sharded_mesh_step(
+    scene: Scene,
+    config: RenderConfig,
+    num_samples: int,
+    mesh: Mesh,
+    interpret: bool = False,
+):
+    """jit-compiled closure over the static pieces (mesh pipeline). The
+    cluster intersector (triangle tables + visit order) is built once here
+    from the concrete scene and closed over — inside the trace the scene
+    arrays are tracers."""
+    from ..render.engine import make_mesh_intersector
+
+    cluster = make_mesh_intersector(scene, interpret=interpret)
+    fn = partial(
+        render_chunk_sharded_mesh,
+        config=config,
+        num_samples=num_samples,
+        mesh=mesh,
+        cluster_isect=cluster,
+    )
+    return jax.jit(lambda scene, state: fn(scene, state))
+
+
 def make_sharded_step(
     scene: Scene,
     config: RenderConfig,

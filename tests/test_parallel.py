@@ -164,6 +164,45 @@ def test_sharded_megakernel_misaligned_shards_decorrelate():
             assert abs(corr) < 0.5, f"shards {a},{a+1} correlated: {corr}"
 
 
+from test_fast_mesh import tri_scene  # noqa: E402  (fixture reuse)
+
+
+@pytest.mark.slow
+def test_sharded_mesh_pipeline_matches_single_device(tri_scene):
+    """The triangle-mesh pipeline inside shard_map: dp pixel slices through
+    trace_sample_mesh + the cluster kernel must match the single-device
+    render to float reassociation (1-2 ulp; XLA fuses the differently-shaped
+    per-shard graphs differently). RNG keys on global pixel ids, so the
+    sampled paths are identical."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.parallel import (
+        make_sharded_mesh_step,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops import fast
+    from cosc_4397_pathtracing_raytracing_project_tpu.render.engine import (
+        make_mesh_intersector,
+    )
+
+    cfg = RenderConfig(trace_depth=3, sky_strength=0.5)
+    num_samples = 2
+    state = RenderState.create(tri_scene.camera.pixel_count, seed=0)
+
+    cluster = make_mesh_intersector(tri_scene, interpret=True)
+    single = jnp.zeros((tri_scene.camera.pixel_count, 3))
+    for i in range(num_samples):
+        single = single + fast.trace_sample_mesh(
+            tri_scene, cfg, state.key, state.iteration + 1 + i, cluster
+        )
+    single = np.asarray(single)
+
+    mesh = make_mesh(4, sample_parallel=1, devices=jax.devices()[:4])
+    step = make_sharded_mesh_step(tri_scene, cfg, num_samples, mesh, interpret=True)
+    out = step(tri_scene, state)
+    assert int(out.iteration) == num_samples
+    np.testing.assert_allclose(
+        np.asarray(out.accum), single, rtol=3e-7, atol=1e-7
+    )
+
+
 def test_indivisible_configs_raise(small_scene):
     mesh = make_mesh(8, sample_parallel=2)
     state = RenderState.create(small_scene.camera.pixel_count, seed=0)
