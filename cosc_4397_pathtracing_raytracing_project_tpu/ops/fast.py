@@ -523,18 +523,18 @@ def trace_sample_mesh(
     n = num_pixels if num_pixels is not None else cam.pixel_count
     legacy = config.gather_mode == "throughput"
     has_analytic = scene.cubes.count + scene.spheres.count > 0
-    if w * h >= (1 << 24):
+    do_sort = getattr(config, "mesh_ray_sort", True) and not legacy
+    if do_sort and w * h >= (1 << 24):
         # (global) pixel ids ride the packed [N, 14] f32 gather; above 2^24
         # they are no longer exactly representable in f32 and radiance would
         # scatter to wrong pixels. 16.7M pixels = beyond 8K frames; use the
-        # fused sort (int-native) or tile the frame externally.
+        # fused sort (int-native) or tile the frame externally. (No-sort
+        # configurations never cast pixel ids to f32 — no guard needed.)
         if not getattr(config, "mesh_sort_fused", False):
             raise ValueError(
                 f"frames with {w * h} pixels need mesh_sort_fused=True "
                 "(pixel ids exceed exact f32 range)"
             )
-
-    do_sort = getattr(config, "mesh_ray_sort", True) and not legacy
     # Block-ordered primary rays: only when the final unsort already exists
     # (do_sort) and this call renders the full frame (the sharded path hands
     # out scanline slices; blocking a slice would need its own unsort).
@@ -551,9 +551,15 @@ def trace_sample_mesh(
     px = (idx % w).astype(jnp.float32)
     py = (idx // w).astype(jnp.float32)
     if config.antialias:
-        jit2 = rng_ops.pixel_jitter(base_key, iteration, n)
-        if blocked:
-            jit2 = jnp.take(jit2, local, axis=0)  # jitter follows the pixel
+        # jitter is PIXEL-keyed: generate the full frame's rows and gather
+        # by global pixel id whenever ray i ≠ pixel i (block order or a dp
+        # shard slice) — lane-position rows would repeat the same jitter
+        # pattern in every shard. Full-frame direct indexing skips the
+        # identity gather.
+        direct = not blocked and num_pixels is None
+        jit2 = rng_ops.pixel_jitter(base_key, iteration, w * h)
+        if not direct:
+            jit2 = jnp.take(jit2, idx, axis=0)
         px = px + jit2[:, 0]
         py = py + jit2[:, 1]
     sx = cam.pixel_length[0] * (px - 0.5 * w)

@@ -821,6 +821,15 @@ def render_samples(
     geometry/material tables (_static_scene_tables); when None they are
     derived from the scene's concrete arrays (callers inside a trace —
     shard_map — must precompute them, see parallel.shard)."""
+    if num_pixels is None and not (
+        isinstance(pixel_offset, int) and pixel_offset == 0
+    ):
+        # num_pixels=None always means "the full frame" inside the jitted
+        # impl — a bare offset would be silently ignored there
+        raise ValueError(
+            "pixel_offset requires num_pixels (a slice render); "
+            "num_pixels=None renders the full frame"
+        )
     if geom_kinds is None:
         geom_kinds = _static_geom_kinds(scene)
     if scene_static is None:

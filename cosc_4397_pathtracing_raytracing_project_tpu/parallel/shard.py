@@ -16,12 +16,50 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..render.engine import RenderConfig, trace_sample
 from ..render.state import RenderState
 from ..scene.structs import Scene
 from .mesh import PIXEL_AXIS, SAMPLE_AXIS
+
+
+def _shard_extents(scene: Scene, num_samples: int, mesh: Mesh):
+    """(local_pixels, local_samples) after validating divisibility."""
+    n_total = scene.camera.pixel_count
+    n_dp = mesh.shape[PIXEL_AXIS]
+    n_sp = mesh.shape[SAMPLE_AXIS]
+    if n_total % n_dp != 0:
+        raise ValueError(f"pixel count {n_total} not divisible by dp={n_dp}")
+    if num_samples % n_sp != 0:
+        raise ValueError(f"num_samples {num_samples} not divisible by sp={n_sp}")
+    return n_total // n_dp, num_samples // n_sp
+
+
+def _run_sharded(body, scene: Scene, state: RenderState, mesh: Mesh,
+                 num_samples: int) -> RenderState:
+    """Common shard_map wiring: `body(scene, accum_local, iteration, key)`
+    returns the rank's updated local accumulator. Inputs are placed on the
+    mesh (scene/state may arrive committed to a single device): scene
+    replicated, accumulator sharded over dp."""
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(PIXEL_AXIS, None), P(), P()),
+        out_specs=P(PIXEL_AXIS, None),
+        # The bounce-scan carry starts replicated (raygen) and becomes
+        # device-varying once per-tile RNG enters; skip the VMA check rather
+        # than pvary-annotating every carry leaf.
+        check_vma=False,
+    )
+    scene = jax.device_put(scene, NamedSharding(mesh, P()))
+    accum_in = jax.device_put(state.accum, NamedSharding(mesh, P(PIXEL_AXIS, None)))
+    iteration = jax.device_put(state.iteration, NamedSharding(mesh, P()))
+    key = jax.device_put(state.key, NamedSharding(mesh, P()))
+    accum = sharded(scene, accum_in, iteration, key)
+    return state.replace(
+        accum=accum, iteration=state.iteration + jnp.int32(num_samples)
+    )
 
 
 def render_chunk_sharded(
@@ -35,15 +73,7 @@ def render_chunk_sharded(
     """Accumulate `num_samples` samples, sharded over the mesh. Both
     `num_samples` and the mesh are static; `num_samples` must divide by the
     sp extent and the pixel count by the dp extent."""
-    n_total = scene.camera.pixel_count
-    n_dp = mesh.shape[PIXEL_AXIS]
-    n_sp = mesh.shape[SAMPLE_AXIS]
-    if n_total % n_dp != 0:
-        raise ValueError(f"pixel count {n_total} not divisible by dp={n_dp}")
-    if num_samples % n_sp != 0:
-        raise ValueError(f"num_samples {num_samples} not divisible by sp={n_sp}")
-    local_pixels = n_total // n_dp
-    local_samples = num_samples // n_sp
+    local_pixels, local_samples = _shard_extents(scene, num_samples, mesh)
 
     def body(scene, accum_local, iteration, key):
         dp = jax.lax.axis_index(PIXEL_AXIS)
@@ -72,28 +102,7 @@ def render_chunk_sharded(
         partial_accum = jax.lax.psum(partial_accum, SAMPLE_AXIS)
         return accum_local + partial_accum
 
-    sharded = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P(PIXEL_AXIS, None), P(), P()),
-        out_specs=P(PIXEL_AXIS, None),
-        # The bounce-scan carry starts replicated (raygen) and becomes
-        # device-varying once per-tile RNG enters; skip the VMA check rather
-        # than pvary-annotating every carry leaf.
-        check_vma=False,
-    )
-    # Place inputs on the mesh (scene/state may arrive committed to a single
-    # device): scene replicated, accumulator sharded over dp.
-    from jax.sharding import NamedSharding
-
-    scene = jax.device_put(scene, NamedSharding(mesh, P()))
-    accum_in = jax.device_put(state.accum, NamedSharding(mesh, P(PIXEL_AXIS, None)))
-    iteration = jax.device_put(state.iteration, NamedSharding(mesh, P()))
-    key = jax.device_put(state.key, NamedSharding(mesh, P()))
-    accum = sharded(scene, accum_in, iteration, key)
-    return state.replace(
-        accum=accum, iteration=state.iteration + jnp.int32(num_samples)
-    )
+    return _run_sharded(body, scene, state, mesh, num_samples)
 
 
 def render_chunk_sharded_pallas(
@@ -113,15 +122,7 @@ def render_chunk_sharded_pallas(
     single-device megakernel (tile-base RNG alignment, see render_samples)."""
     from ..ops.pallas import megakernel
 
-    n_total = scene.camera.pixel_count
-    n_dp = mesh.shape[PIXEL_AXIS]
-    n_sp = mesh.shape[SAMPLE_AXIS]
-    if n_total % n_dp != 0:
-        raise ValueError(f"pixel count {n_total} not divisible by dp={n_dp}")
-    if num_samples % n_sp != 0:
-        raise ValueError(f"num_samples {num_samples} not divisible by sp={n_sp}")
-    local_pixels = n_total // n_dp
-    local_samples = num_samples // n_sp
+    local_pixels, local_samples = _shard_extents(scene, num_samples, mesh)
     if geom_kinds is None:
         # inside shard_map the scene is a tracer: derive the static
         # axis-aligned specialization here (concrete on the direct call path;
@@ -165,23 +166,7 @@ def render_chunk_sharded_pallas(
         rad = jax.lax.psum(rad, SAMPLE_AXIS)
         return accum_local + rad
 
-    sharded = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P(PIXEL_AXIS, None), P(), P()),
-        out_specs=P(PIXEL_AXIS, None),
-        check_vma=False,
-    )
-    from jax.sharding import NamedSharding
-
-    scene = jax.device_put(scene, NamedSharding(mesh, P()))
-    accum_in = jax.device_put(state.accum, NamedSharding(mesh, P(PIXEL_AXIS, None)))
-    iteration = jax.device_put(state.iteration, NamedSharding(mesh, P()))
-    key = jax.device_put(state.key, NamedSharding(mesh, P()))
-    accum = sharded(scene, accum_in, iteration, key)
-    return state.replace(
-        accum=accum, iteration=state.iteration + jnp.int32(num_samples)
-    )
+    return _run_sharded(body, scene, state, mesh, num_samples)
 
 
 def make_sharded_pallas_step(
@@ -220,21 +205,13 @@ def render_chunk_sharded_mesh(
     mesh pipeline (ops.fast.trace_sample_mesh + the cluster-culled Pallas
     kernel) on its contiguous pixel slice; sp ranks split samples and
     combine with one psum. The cluster tables are replicated (a few MB).
-    RNG keys on the *global* pixel id, so every shard traces exactly the
-    paths the single-device render would; per-pixel results match to float
-    reassociation (1-2 ulp — XLA fuses the differently-shaped per-shard
-    graphs differently)."""
+    RNG (bounce uniforms AND antialias jitter) keys on the *global* pixel
+    id, so every shard traces exactly the paths the single-device render
+    would; per-pixel results match to float reassociation (1-2 ulp — XLA
+    fuses the differently-shaped per-shard graphs differently)."""
     from ..ops import fast
 
-    n_total = scene.camera.pixel_count
-    n_dp = mesh.shape[PIXEL_AXIS]
-    n_sp = mesh.shape[SAMPLE_AXIS]
-    if n_total % n_dp != 0:
-        raise ValueError(f"pixel count {n_total} not divisible by dp={n_dp}")
-    if num_samples % n_sp != 0:
-        raise ValueError(f"num_samples {num_samples} not divisible by sp={n_sp}")
-    local_pixels = n_total // n_dp
-    local_samples = num_samples // n_sp
+    local_pixels, local_samples = _shard_extents(scene, num_samples, mesh)
 
     def body(scene, accum_local, iteration, key):
         dp = jax.lax.axis_index(PIXEL_AXIS)
@@ -257,23 +234,7 @@ def render_chunk_sharded_mesh(
         rad = jax.lax.psum(rad, SAMPLE_AXIS)
         return accum_local + rad
 
-    sharded = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P(PIXEL_AXIS, None), P(), P()),
-        out_specs=P(PIXEL_AXIS, None),
-        check_vma=False,
-    )
-    from jax.sharding import NamedSharding
-
-    scene = jax.device_put(scene, NamedSharding(mesh, P()))
-    accum_in = jax.device_put(state.accum, NamedSharding(mesh, P(PIXEL_AXIS, None)))
-    iteration = jax.device_put(state.iteration, NamedSharding(mesh, P()))
-    key = jax.device_put(state.key, NamedSharding(mesh, P()))
-    accum = sharded(scene, accum_in, iteration, key)
-    return state.replace(
-        accum=accum, iteration=state.iteration + jnp.int32(num_samples)
-    )
+    return _run_sharded(body, scene, state, mesh, num_samples)
 
 
 def make_sharded_mesh_step(

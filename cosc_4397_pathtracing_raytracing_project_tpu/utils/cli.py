@@ -68,9 +68,15 @@ def main(argv=None) -> int:
 
     desc = load_scene_desc(args.scene)
     if args.refraction == "auto":
-        refraction = any(
+        # never in throughput mode: that is the reference-code parity
+        # estimator, and the reference parses REFRIOR but never refracts —
+        # auto-enabling would silently diverge from upstream renders
+        refraction = args.estimator != "throughput" and any(
             r > 0 and i > 0 for r, i in zip(desc.refractive, desc.ior)
         )
+        if refraction and not args.quiet:
+            print("refraction: enabled (REFRIOR materials present; "
+                  "--refraction off to disable)")
     else:
         refraction = args.refraction == "on"
     config = RenderConfig(

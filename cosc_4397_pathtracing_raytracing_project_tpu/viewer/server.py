@@ -25,7 +25,7 @@ from .controls import OrbitCameraController
 _PAGE = """<!doctype html>
 <html><head><title>TPU Path Tracer</title><style>
 body { background:#111; color:#ddd; font-family:monospace; margin:0 }
-#wrap { display:flex } canvas { cursor:grab }
+#wrap { display:flex } #c { cursor:grab }
 #hud { padding:12px; white-space:pre; font-size:12px }
 </style></head><body>
 <div id="wrap"><img id="c" draggable="false"><div id="hud">loading…</div></div>
@@ -55,8 +55,12 @@ let polling = false;
 function poll() {
   if (polling) return; polling = true;
   (function tick() {
-    c.src = '/frame.png?t=' + Date.now();
-    setTimeout(tick, 60);
+    // load off-screen and only swap on success: reassigning c.src every
+    // tick would abort in-flight loads on slow links and never display
+    const im = new Image();
+    im.onload = () => { c.src = im.src; setTimeout(tick, 60); };
+    im.onerror = () => setTimeout(tick, 500);
+    im.src = '/frame.png?t=' + Date.now();
   })();
 }
 c.onerror = poll;
@@ -91,7 +95,7 @@ class PreviewServer:
         self._stop = threading.Event()
         self._render_thread = None
         self._httpd = None
-        self._frame_cache = (-1, -1, b"")  # (camera gen, iteration, png)
+        self._frame_cache = ((-1, -1), b"")  # ((camera gen, iteration), png)
         self._camera_gen = 0  # bumped on every camera rebuild
         self._frame_times: list = []  # recent distinct-frame timestamps
 
@@ -110,26 +114,31 @@ class PreviewServer:
                 continue
             self.renderer.step(self.renderer.config.samples_per_launch)
 
-    def frame_png(self) -> bytes:
-        # re-encode only when the accumulator advanced — polls between
-        # render steps are free, so the client can poll fast. Keyed by
-        # (camera generation, iteration): iteration alone collides after a
-        # camera reset (iteration restarts, a coinciding value would serve
-        # the pre-move frame).
-        gen, it = self._camera_gen, self.renderer.iteration
-        cached_gen, cached_it, cached = self._frame_cache
-        if gen == cached_gen and it == cached_it and cached:
-            return cached
+    def frame_png_keyed(self) -> tuple:
+        """((camera gen, iteration), png) from ONE snapshot — the stream
+        loop needs the key that belongs to the bytes it writes (reading the
+        cache after the fact races with concurrent /frame.png encodes).
+
+        Re-encodes only when the accumulator advanced; keyed by (camera
+        generation, iteration) because iteration alone collides after a
+        camera reset (a coinciding value would serve the pre-move frame)."""
+        key = (self._camera_gen, self.renderer.iteration)
+        cached_key, cached = self._frame_cache
+        if key == cached_key and cached:
+            return key, cached
         img = self.renderer.display_image()[:, ::-1, :]
         png = encode_png(img, compress_level=1)
         import time as _time
 
         with self._lock:
-            self._frame_cache = (gen, it, png)
+            self._frame_cache = (key, png)
             self._frame_times.append(_time.monotonic())
             if len(self._frame_times) > 20:
                 self._frame_times = self._frame_times[-20:]
-        return png
+        return key, png
+
+    def frame_png(self) -> bytes:
+        return self.frame_png_keyed()[1]
 
     def display_fps(self) -> float:
         """Distinct preview frames served per second (the ImGui framerate
@@ -204,8 +213,7 @@ class PreviewServer:
                     last = None
                     try:
                         while not server._stop.is_set():
-                            png = server.frame_png()
-                            key = server._frame_cache[:2]
+                            key, png = server.frame_png_keyed()
                             if key != last:
                                 last = key
                                 self.wfile.write(

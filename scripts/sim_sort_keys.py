@@ -25,9 +25,9 @@ true nearest hit distance).
 Secondary-bounce rays are sampled as cosine-weighted directions from
 points on the mesh surface (statistically like bounce-1 rays).
 """
-import sys, time
-sys.path.insert(0, __import__("os").path.join(__import__("os").path.dirname(__file__), ".."))
 import os
+import sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -38,7 +38,7 @@ from cosc_4397_pathtracing_raytracing_project_tpu.ops import bvh as bvh_mod
 from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import mesh_kernel as mk
 
 rng = np.random.default_rng(0)
-desc = load_scene_desc(__import__("os").path.join(__import__("os").path.dirname(__file__), "..", "scenes", "mesh1080p.txt"))
+desc = load_scene_desc(os.path.join(os.path.dirname(__file__), "..", "scenes", "mesh1080p.txt"))
 desc.camera.resolution = (1920, 1080)
 scene = Scene.from_desc(desc)
 v0 = np.asarray(scene.triangles.v0); e1 = np.asarray(scene.triangles.e1); e2 = np.asarray(scene.triangles.e2)

@@ -182,7 +182,9 @@ def test_sharded_mesh_pipeline_matches_single_device(tri_scene):
         make_mesh_intersector,
     )
 
-    cfg = RenderConfig(trace_depth=3, sky_strength=0.5)
+    # antialias on: the sub-pixel jitter must also be pixel-keyed (a
+    # lane-keyed jitter would repeat the same pattern in every shard)
+    cfg = RenderConfig(trace_depth=3, sky_strength=0.5, antialias=True)
     num_samples = 2
     state = RenderState.create(tri_scene.camera.pixel_count, seed=0)
 
