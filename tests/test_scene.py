@@ -123,3 +123,25 @@ def test_world_aabbs(cornell_desc):
     # sphere object AABB uses the 8-corner cube method (pathtrace.cu:34-50)
     np.testing.assert_allclose(mins[6], [-2.5, 2.5, -2.5], atol=1e-5)
     np.testing.assert_allclose(maxs[6], [0.5, 5.5, 0.5], atol=1e-5)
+
+
+def test_glass_scene_parses_and_cli_detects_refraction():
+    """scenes/cornell_glass.txt (showcase): parses with a glass material,
+    and the CLI's --refraction auto detection fires on it but not on the
+    reference scenes (REFRIOR 0 everywhere upstream)."""
+    import os
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.scene.parser import (
+        load_scene_desc,
+    )
+
+    scenes = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    glass = load_scene_desc(os.path.join(scenes, "cornell_glass.txt"))
+    assert glass.num_geoms == 8 and glass.num_materials == 6
+    has_glass = any(
+        r > 0 and i > 0 for r, i in zip(glass.refractive, glass.ior)
+    )
+    assert has_glass
+
+    ref = load_scene_desc(os.path.join(scenes, "cornell.txt"))
+    assert not any(r > 0 and i > 0 for r, i in zip(ref.refractive, ref.ior))
