@@ -8,11 +8,13 @@ configuration, README.md:30; "rays/s" = pixels × iterations / wall seconds,
 `src/pathtrace.cu:173`). vs_baseline is value / 236e6.
 
 Env knobs: PT_BENCH_ITERS (default 1000), PT_BENCH_CHUNK (samples per device
-call, default 50), PT_BENCH_SCENE (scene path).
+call, default 50), PT_BENCH_SCENE (scene path), PT_BENCH_PROBE_TIMEOUT
+(seconds per backend probe, default 120), PT_BENCH_PROBE_ATTEMPTS (default 4).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -20,7 +22,61 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_RAYS_PER_SEC = 236e6
 
 
+def _wait_for_backend() -> bool:
+    """Probe the configured JAX backend with bounded retry/backoff.
+
+    The remote-TPU backend has two transient failure modes observed in
+    practice: UNAVAILABLE at first contact (fails fast) and a hang during
+    setup/compile (never returns). Each probe therefore runs a trivial
+    computation in a *subprocess* under its own timeout; between failed
+    probes we back off (30/60/120s) so one blip doesn't zero a benchmark
+    round. Returns True when a probe succeeds; False when the budget is
+    exhausted (caller exits non-zero without printing a bogus JSON line)."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True  # local CPU can't be "down"
+    probe_timeout = float(os.environ.get("PT_BENCH_PROBE_TIMEOUT", "120"))
+    attempts = int(os.environ.get("PT_BENCH_PROBE_ATTEMPTS", "4"))
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((8, 8))\n"
+        "print(float((x @ x).sum()))\n"
+    )
+    for i in range(attempts):
+        t0 = time.perf_counter()
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=probe_timeout,
+                capture_output=True,
+                text=True,
+            )
+            ok = res.returncode == 0
+            err = (res.stderr or "").strip().splitlines()[-1:] or [""]
+        except subprocess.TimeoutExpired:
+            ok, err = False, [f"probe hung > {probe_timeout:.0f}s"]
+        dt = time.perf_counter() - t0
+        if ok:
+            if i:
+                print(f"bench: backend up after {i} retries", file=sys.stderr)
+            return True
+        print(
+            f"bench: backend probe {i + 1}/{attempts} failed ({dt:.0f}s): "
+            f"{err[0]}",
+            file=sys.stderr,
+        )
+        if i + 1 < attempts:
+            time.sleep(min(30 * 2**i, 120))
+    return False
+
+
 def main():
+    if not _wait_for_backend():
+        print(
+            "bench: backend unavailable after bounded retries — aborting "
+            "without a JSON line (infra outage, not a benchmark result)",
+            file=sys.stderr,
+        )
+        return 1
     iters = int(os.environ.get("PT_BENCH_ITERS", "1000"))
     chunk = int(os.environ.get("PT_BENCH_CHUNK", "50"))
     scene_path = os.environ.get(
