@@ -154,6 +154,13 @@ def pack_clusters(
     hit id). Padding rows are all-zero (zero edges → det 0 → never hit).
     AABB rows: min(3) max(3), col 6 = base row of the cluster's block,
     col 7 free."""
+    if len(v0) >= (1 << 24):
+        # cols 12-13 round-trip ids through f32 (exact only below 2^24);
+        # mirrors the pixel-id guard in fast.trace_sample_mesh
+        raise ValueError(
+            f"mesh has {len(v0)} triangles; the cluster kernel's f32 id "
+            "columns are exact only below 2^24"
+        )
     c = len(clusters)
     rows = np.zeros((c * cluster_size, ROWF), np.float32)
     aabbs = np.zeros((c, 8), np.float32)

@@ -55,10 +55,18 @@ def hash_bounce_uniforms(
     (ops.pallas.megakernel._HashPrng); the reference's analog is its
     utilhash-seeded thrust engine (`src/pathtrace.cu:203-207`)."""
     kd = jax.random.key_data(base_key).reshape(-1)[-1].astype(jnp.uint32)
-    seed = kd * jnp.uint32(0x9E3779B9)
-    seed = seed ^ (jnp.asarray(iteration).astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
-    seed = seed ^ (seed >> jnp.uint32(13))
-    seed = seed ^ (jnp.asarray(depth).astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
+    # Injective (iteration, depth) -> counter for depth < 32, iteration < 2^27
+    # (a 5000-spp render uses < 2^13 iterations), pushed through the full
+    # murmur3 fmix32 finalizer (a bijection): no two (iteration, depth) pairs
+    # can share a seed, so the frame-wide duplicated-uniform-block collisions
+    # of the old single multiply-xor round cannot occur at all.
+    ctr = (jnp.asarray(iteration).astype(jnp.uint32) << jnp.uint32(5)) | (
+        jnp.asarray(depth).astype(jnp.uint32) & jnp.uint32(31)
+    )
+    x = ctr ^ (kd * jnp.uint32(0x9E3779B9))
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+    seed = x ^ (x >> jnp.uint32(16))
     p = pixel_ids.astype(jnp.uint32)
     us = []
     for lane in range(NUM_LANES):

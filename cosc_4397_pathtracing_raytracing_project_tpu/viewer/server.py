@@ -122,8 +122,13 @@ class PreviewServer:
         Re-encodes only when the accumulator advanced; keyed by (camera
         generation, iteration) because iteration alone collides after a
         camera reset (a coinciding value would serve the pre-move frame)."""
-        key = (self._camera_gen, self.renderer.iteration)
-        cached_key, cached = self._frame_cache
+        # Snapshot the key under the lock: the render thread bumps
+        # _camera_gen and resets the iteration counter together under it, so
+        # an unlocked pair read could cache a post-move frame under a
+        # pre-move key for one tick.
+        with self._lock:
+            key = (self._camera_gen, self.renderer.iteration)
+            cached_key, cached = self._frame_cache
         if key == cached_key and cached:
             return key, cached
         img = self.renderer.display_image()[:, ::-1, :]
@@ -234,13 +239,44 @@ class PreviewServer:
                 else:
                     self._send(200, "text/html", _PAGE.encode())
 
+            def _host_allowed(self):
+                # DNS-rebinding defense: Origin==Host alone passes when an
+                # attacker's domain resolves to this server (both headers
+                # then carry the attacker's name). Require the Host header
+                # itself to be trustworthy: an IP literal (no DNS involved,
+                # can't be rebound), localhost, or the configured bind host;
+                # and the port must match the bind port.
+                from urllib.parse import urlsplit
+
+                host_hdr = (self.headers.get("Host") or "").strip()
+                try:
+                    sp = urlsplit("//" + host_hdr)
+                    hostname, port = (sp.hostname or "").lower(), sp.port
+                except ValueError:
+                    return False
+                if (port or 80) != server.port:
+                    return False
+                if hostname in ("localhost", server.host.lower()):
+                    return True
+                import ipaddress
+
+                try:
+                    ipaddress.ip_address(hostname)
+                    return True
+                except ValueError:
+                    return False
+
             def do_POST(self):
                 # CSRF guard: /control is state-mutating, so reject
                 # cross-origin browser posts (any webpage can POST to
                 # localhost; the viewer page itself sends same-origin).
                 # Same-origin = the Origin's host:port equals the Host
                 # header the request arrived on — a fixed hostname
-                # allowlist broke 0.0.0.0 binds reached via a LAN IP.
+                # allowlist broke 0.0.0.0 binds reached via a LAN IP —
+                # plus Host validation (see _host_allowed).
+                if not self._host_allowed():
+                    self._send(403, "application/json", b'{"error":"host"}')
+                    return
                 origin = self.headers.get("Origin")
                 if origin is not None:
                     from urllib.parse import urlparse
@@ -262,6 +298,9 @@ class PreviewServer:
         self._httpd = ThreadingHTTPServer(
             (self.host, self.port), self._make_handler()
         )
+        # port=0 binds an ephemeral port — record the real one (Host-header
+        # validation and the printed URL both need it)
+        self.port = self._httpd.server_address[1]
         print(f"preview at http://{self.host}:{self.port}/")
         if block:
             try:

@@ -23,6 +23,69 @@ def test_native_png_roundtrip(tmp_path, native_lib, rng_np):
     np.testing.assert_array_equal(back, img)
 
 
+def _encode_png_forced_filters(img: np.ndarray, ftypes) -> bytes:
+    """PNG encoder that forces a per-row filter-type cycle (our encoder only
+    emits filter 0, so decode tests need an independent source of Sub/Up/
+    Average/Paeth rows)."""
+    import struct
+    import zlib
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.io.png import _PNG_SIG, _chunk
+
+    h, w, c = img.shape
+    prev = np.zeros(w * c, np.int32)
+    rows = []
+    for y in range(h):
+        f = ftypes[y % len(ftypes)]
+        line = img[y].reshape(-1).astype(np.int32)
+        lc = line.reshape(-1, c)
+        left = np.concatenate([np.zeros((1, c), np.int32), lc[:-1]], 0).reshape(-1)
+        ul = np.concatenate(
+            [np.zeros((1, c), np.int32), prev.reshape(-1, c)[:-1]], 0
+        ).reshape(-1)
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = (line - left) & 0xFF
+        elif f == 2:
+            filt = (line - prev) & 0xFF
+        elif f == 3:
+            filt = (line - ((left + prev) >> 1)) & 0xFF
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = (line - pred) & 0xFF
+        rows.append(bytes([int(f)]) + filt.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftypes", [[4], [3], [0, 1, 2, 3, 4], [4, 0, 4, 2]])
+def test_png_defilter_all_filters(tmp_path, ftypes, rng_np, monkeypatch):
+    """Both defilter paths (native C++ and the NumPy anti-diagonal wavefront)
+    invert every PNG filter type exactly (stb writes Paeth-heavy files —
+    `/root/reference/src/image.cpp:22-45` — so golden decode needs this)."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.native import runtime as nr
+
+    for c in (3, 4):
+        img = rng_np.integers(0, 256, (23, 31, c), dtype=np.uint8)
+        path = str(tmp_path / f"f{c}.png")
+        with open(path, "wb") as f:
+            f.write(_encode_png_forced_filters(img, ftypes))
+        if runtime.ensure_built():
+            np.testing.assert_array_equal(read_png(path), img)
+        monkeypatch.setattr(nr, "png_defilter", lambda *a: False)
+        np.testing.assert_array_equal(read_png(path), img)
+        monkeypatch.undo()
+
+
 def test_native_bvh_matches_python(native_lib, rng_np):
     n = 57
     mins = rng_np.uniform(-10, 10, (n, 3)).astype(np.float32)

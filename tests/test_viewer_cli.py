@@ -156,6 +156,25 @@ def test_preview_server(small_desc):
             method="POST",
         )
         urllib.request.urlopen(req, timeout=10).read()
+        # CSRF guards: a cross-origin browser POST is rejected, and so is a
+        # DNS-rebinding POST (attacker hostname in BOTH Origin and Host —
+        # Origin==Host alone would pass it)
+        for headers in (
+            {"Origin": "http://evil.example"},
+            {"Origin": f"http://evil.example:{port}",
+             "Host": f"evil.example:{port}"},
+        ):
+            bad = urllib.request.Request(
+                base + "/control",
+                data=json.dumps({"type": "orbit", "dx": 1, "dy": 0}).encode(),
+                method="POST",
+                headers=headers,
+            )
+            try:
+                urllib.request.urlopen(bad, timeout=10)
+                raise AssertionError(f"expected 403 for {headers}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 403
         # multipart push stream delivers at least two PNG parts as the
         # accumulator advances
         resp = urllib.request.urlopen(base + "/stream", timeout=30)
