@@ -741,10 +741,19 @@ def trace_sample_mesh(
     (_, _, _, _, _, _, cr, cg, cb, _, rr_, rg_, rb_) = carry
     if legacy:
         return jnp.stack([cr, cg, cb], axis=-1)
-    values = jnp.stack([rr_, rg_, rb_], axis=-1)
     if do_sort:
         # finalGather: radiance back to pixel order. `pixel` is a
         # permutation, so the scatter-add is an inverse-permutation gather
         # (~200 ms vs ~45 ms at 2M rays: argsort + row take).
+        if getattr(config, "mesh_sort_fused", False):
+            # fused variant: sort by pixel id with RGB as payloads — the
+            # sort network does the unsort without the argsort + [N, 3]
+            # row gather. Keys are a permutation (all distinct), so the
+            # result is exactly pixel order; stability is irrelevant.
+            _, rr_, rg_, rb_ = jax.lax.sort(
+                (pixel, rr_, rg_, rb_), num_keys=1
+            )
+            return jnp.stack([rr_, rg_, rb_], axis=-1)
+        values = jnp.stack([rr_, rg_, rb_], axis=-1)
         return jnp.take(values, jnp.argsort(pixel), axis=0)
-    return values
+    return jnp.stack([rr_, rg_, rb_], axis=-1)

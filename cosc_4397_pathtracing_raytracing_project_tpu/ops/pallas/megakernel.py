@@ -168,6 +168,19 @@ INTERLEAVE = 5
 # SMEM-table config stays the default. Read in the unjitted wrapper, so
 # flipping it mid-process retraces correctly.
 STATIC_TABLES = False
+# Skip a bounce's entire vector body when every lane in the tile has
+# terminated (scalar any-alive reduce + lax.cond per bounce). Exact: each
+# bounce reseeds the PRNG from (seed, iteration, depth, tile), so skipping
+# a dead bounce never shifts a later bounce's stream; dead lanes are
+# already frozen by the `act` masks. Disabled in legacy/throughput mode,
+# where the reference-quirk sky multiply (`pathtrace.cu:358-362` parity)
+# keeps touching terminated lanes. Profitable only when whole tiles die
+# early (open scenes where rays escape to the sky); neutral-to-noise on
+# closed boxes where some lane in 2048 nearly always survives. Default off
+# until the TPU A/B lands (axon compile service was degraded when this was
+# written); CPU interpret-mode bit-identity vs off is proven for both
+# gather modes on scenes/sphere.txt.
+EARLY_EXIT = False
 
 
 def _static_geom_kinds(scene: Scene):
@@ -263,7 +276,11 @@ def _make_kernel(
     geo_static: tuple = (),
     gmat_static: tuple = (),
     mat_static: tuple = (),
+    early_exit: bool = False,
 ):
+    # legacy mode's sky multiply keeps updating terminated lanes (quirk
+    # parity), so an all-dead bounce is NOT a no-op there — never skip
+    early_exit = early_exit and not legacy
     k_total = num_cubes + num_spheres
     if not geom_kinds:
         geom_kinds = tuple(
@@ -753,6 +770,18 @@ def _make_kernel(
                 return (acc_r + cr, acc_g + cg, acc_b + cb)
             return (acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
 
+        def bounce_step(bounce_fn, depth, st):
+            # Lanes can first go all-dead after bounce 0 ran, so depth 0
+            # (and every bounce when early_exit is off) calls straight in.
+            if not early_exit or depth == 0:
+                return bounce_fn(depth, st)
+            return jax.lax.cond(
+                jnp.any(st[9] > 0),  # st[9] = bounces-remaining
+                lambda s: bounce_fn(depth, s),
+                lambda s: s,
+                st,
+            )
+
         # Unrolled bounce loop: a fori_loop here costs ~0.3 ms/bounce in
         # carry copies + loop control — more than the bounce's compute.
         def sample_body(s, acc):
@@ -760,7 +789,7 @@ def _make_kernel(
             st = init_sample(iteration)
             bounce = make_bounce(iteration)
             for depth in range(trace_depth):
-                st = bounce(depth, st)
+                st = bounce_step(bounce, depth, st)
             return accumulate(acc, st)
 
         def group_body(p, acc):
@@ -774,7 +803,7 @@ def _make_kernel(
             chains = [make_bounce(it) for it in its]
             for depth in range(trace_depth):
                 for c in range(interleave):
-                    sts[c] = chains[c](depth, sts[c])
+                    sts[c] = bounce_step(chains[c], depth, sts[c])
             for c in range(interleave):
                 acc = accumulate(acc, sts[c])
             return acc
@@ -849,7 +878,7 @@ def render_samples(
     return _render_samples_impl(
         scene, config, seed, iter_base, num_samples, interpret,
         pixel_offset, num_pixels, ABLATION, interleave, geom_kinds,
-        scene_static, tile_base,
+        scene_static, tile_base, EARLY_EXIT,
     )
 
 
@@ -858,6 +887,7 @@ def render_samples(
     static_argnames=(
         "config", "num_samples", "interpret", "num_pixels",
         "ablation", "interleave", "geom_kinds", "scene_static",
+        "early_exit",
     ),
 )
 def _render_samples_impl(
@@ -874,6 +904,7 @@ def _render_samples_impl(
     geom_kinds: tuple = (),
     scene_static: tuple = ((), (), ()),
     tile_base=None,
+    early_exit: bool = False,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch.
 
@@ -950,6 +981,7 @@ def _render_samples_impl(
         geo_static=scene_static[0],
         gmat_static=scene_static[1],
         mat_static=scene_static[2],
+        early_exit=early_exit,
     )
 
     grid = n_pad // TILE

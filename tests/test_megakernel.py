@@ -137,6 +137,44 @@ def test_megakernel_static_tables_bit_identical(scene):
     np.testing.assert_array_equal(base, static)
 
 
+@pytest.mark.slow
+def test_megakernel_early_exit_bit_identical():
+    """EARLY_EXIT=True (skip a bounce's vector body when every lane in the
+    tile is dead) must be bit-identical to the default: each bounce reseeds
+    its PRNG from (seed, iteration, depth, tile), so skipping an all-dead
+    bounce can never shift a later bounce's random stream. Uses the open
+    sphere scene so tiles actually die (rays escape to the sky)."""
+    import os
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.scene.parser import (
+        load_scene_desc,
+    )
+
+    desc = load_scene_desc(
+        os.path.join(os.path.dirname(__file__), "..", "scenes", "sphere.txt")
+    )
+    desc.camera.resolution = (32, 32)
+    sc = Scene.from_desc(desc)
+    cfg = RenderConfig(trace_depth=4)
+    old = megakernel.EARLY_EXIT
+    try:
+        megakernel.EARLY_EXIT = False
+        base = np.asarray(
+            megakernel.render_samples(
+                sc, cfg, jnp.int32(0), jnp.int32(1), 1, interpret=True
+            )
+        )
+        megakernel.EARLY_EXIT = True
+        skip = np.asarray(
+            megakernel.render_samples(
+                sc, cfg, jnp.int32(0), jnp.int32(1), 1, interpret=True
+            )
+        )
+    finally:
+        megakernel.EARLY_EXIT = old
+    np.testing.assert_array_equal(base, skip)
+
+
 def test_megakernel_iteration_decorrelation(scene):
     cfg = RenderConfig(trace_depth=2)
     a = np.asarray(
