@@ -77,6 +77,24 @@ def main():
             file=sys.stderr,
         )
         return 1
+    # Persistent compile cache: compile time is outside the timed region,
+    # but the remote compile service has degraded to >20-min per shape in
+    # practice — a cache shared with earlier processes on this host (the
+    # experiment scripts use the same path) makes the bench robust to that.
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # the env var alone is overridden by the TPU plugin's sitecustomize;
+        # a CPU smoke run needs the config set too (see tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "PT_COMPILE_CACHE", os.path.expanduser("~/.cache/jax_pt")
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     iters = int(os.environ.get("PT_BENCH_ITERS", "1000"))
     chunk = int(os.environ.get("PT_BENCH_CHUNK", "50"))
     scene_path = os.environ.get(

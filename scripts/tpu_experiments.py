@@ -1,0 +1,183 @@
+"""Fresh-process TPU A/B experiments for the flag decisions VERDICT asked for.
+
+One experiment per process (the pallas executable cache survives module
+global flips — see CLAUDE.md), selected by the first argv:
+
+    python scripts/tpu_experiments.py headline      [--scene S] [--iters N]
+    python scripts/tpu_experiments.py static_tables [--scene S] [--iters N]
+    python scripts/tpu_experiments.py early_exit    [--scene S] [--iters N]
+    python scripts/tpu_experiments.py shard11       [--iters N]
+
+`headline` is the control: the plain megakernel Renderer on the scene.
+`static_tables` / `early_exit` are identical except for the module flag.
+`shard11` times the dp=1/sp=1 `make_sharded_pallas_step` against the plain
+megakernel step on the same chip — the shard_map overhead bound (the only
+multi-chip perf statement a one-chip environment can verify).
+
+Each prints one JSON line to stdout. Timing protocol mirrors bench.py:
+warm-up launch outside the timed region, then `iters` iterations; sync is a
+data-dependent fetch (block_until_ready can return early on this backend).
+
+Run the whole batch sequentially with scripts/run_tpu_ab.sh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _setup_cache():
+    """Same persistent compile cache as bench.py: A/B reruns of the control
+    config skip the 25-90s (or worse, when the service degrades) remote
+    compile."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "PT_COMPILE_CACHE", os.path.expanduser("~/.cache/jax_pt")
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def sync(x) -> float:
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jnp.ravel(x)[:2]))
+
+
+def bench_renderer(scene_path: str, iters: int, chunk: int):
+    """rays/s of the megakernel Renderer on `scene_path` (bench.py protocol)."""
+    from cosc_4397_pathtracing_raytracing_project_tpu import (
+        RenderConfig,
+        Renderer,
+    )
+
+    r = Renderer(
+        scene_path,
+        RenderConfig(samples_per_launch=chunk, pipeline="pallas"),
+    )
+    r.step(chunk)
+    r.reset()
+    t0 = time.perf_counter()
+    r.render(iters)
+    wall = time.perf_counter() - t0
+    pixels = r.scene.camera.pixel_count
+    return pixels * iters / wall, wall, pixels
+
+
+def run_flag_experiment(name: str, args) -> dict:
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import (
+        megakernel,
+    )
+
+    if name == "static_tables":
+        megakernel.STATIC_TABLES = True
+    elif name == "early_exit":
+        megakernel.EARLY_EXIT = True
+    rays, wall, pixels = bench_renderer(args.scene, args.iters, args.chunk)
+    return {
+        "experiment": name,
+        "scene": os.path.basename(args.scene),
+        "rays_per_sec": round(rays, 0),
+        "mrays": round(rays / 1e6, 1),
+        "iters": args.iters,
+        "wall_s": round(wall, 2),
+        "static_tables": megakernel.STATIC_TABLES,
+        "early_exit": megakernel.EARLY_EXIT,
+    }
+
+
+def run_shard11(args) -> dict:
+    """dp=1/sp=1 sharded megakernel step vs the plain step, same chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from cosc_4397_pathtracing_raytracing_project_tpu import (
+        RenderConfig,
+        Renderer,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.parallel.shard import (
+        make_sharded_pallas_step,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.render.state import (
+        RenderState,
+    )
+
+    chunk = args.chunk
+    r = Renderer(
+        args.scene, RenderConfig(samples_per_launch=chunk, pipeline="pallas")
+    )
+    scene = r.scene
+    pixels = scene.camera.pixel_count
+
+    # plain: the Renderer's own step (one megakernel dispatch per chunk)
+    r.step(chunk)  # warm-up/compile
+    r.reset()
+    t0 = time.perf_counter()
+    for _ in range(args.iters // chunk):
+        r.step(chunk)
+    sync(r.state.accum)
+    wall_plain = time.perf_counter() - t0
+
+    # sharded: same computation through shard_map over a 1×1 mesh
+    mesh = make_mesh(1)
+    cfg = RenderConfig(samples_per_launch=chunk, pipeline="pallas")
+    step = make_sharded_pallas_step(scene, cfg, chunk, mesh)
+    state = RenderState.create(pixels, seed=0)
+    state = step(scene, state)  # warm-up/compile
+    sync(state.accum)
+    state = RenderState.create(pixels, seed=0)
+    t0 = time.perf_counter()
+    for _ in range(args.iters // chunk):
+        state = step(scene, state)
+    sync(state.accum)
+    wall_shard = time.perf_counter() - t0
+
+    rays_plain = pixels * args.iters / wall_plain
+    rays_shard = pixels * args.iters / wall_shard
+    return {
+        "experiment": "shard11",
+        "scene": os.path.basename(args.scene),
+        "mrays_plain": round(rays_plain / 1e6, 1),
+        "mrays_sharded_1x1": round(rays_shard / 1e6, 1),
+        "overhead_pct": round((wall_shard - wall_plain) / wall_plain * 100, 2),
+        "iters": args.iters,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "experiment",
+        choices=["headline", "static_tables", "early_exit", "shard11"],
+    )
+    ap.add_argument(
+        "--scene", default=os.path.join(REPO, "scenes", "cornell.txt")
+    )
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--chunk", type=int, default=50)
+    args = ap.parse_args()
+
+    _setup_cache()
+    if args.experiment == "shard11":
+        out = run_shard11(args)
+    else:
+        out = run_flag_experiment(args.experiment, args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

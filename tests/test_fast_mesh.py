@@ -22,6 +22,14 @@ from cosc_4397_pathtracing_raytracing_project_tpu.scene import (
 
 
 @pytest.fixture(scope="module")
+def cluster(tri_scene):
+    """Module-shared interpret-mode intersector: the three pipeline tests
+    then reuse one traced/compiled cluster kernel instead of compiling
+    three (≈30s each on a cold CI box)."""
+    return make_mesh_intersector(tri_scene, interpret=True)
+
+
+@pytest.fixture(scope="module")
 def tri_scene(rng_np=None):
     """A small closed-ish scene: emissive cube above a triangulated floor +
     a triangulated box of 12 tris."""
@@ -71,48 +79,51 @@ def test_supports_mesh(tri_scene):
     assert not fast.supports(tri_scene)
 
 
-def test_mesh_ray_sort_image_invariant(tri_scene):
+def test_mesh_ray_sort_image_invariant(tri_scene, cluster):
     """Per-bounce ray sorting must not change the image: RNG is keyed by
     pixel id (gathered through the permutation), never by lane position."""
     import dataclasses
 
     cfg_sorted = RenderConfig(trace_depth=4, sky_strength=0.5, mesh_ray_sort=True)
     cfg_unsorted = dataclasses.replace(cfg_sorted, mesh_ray_sort=False)
-    cluster = make_mesh_intersector(tri_scene, interpret=True)
     key = jax.random.PRNGKey(7)
+    # eager on purpose: jitting this costs a ~60s XLA compile per config on
+    # a 1-core CI box vs ~10s of eager dispatch for a single render
     a = fast.trace_sample_mesh(tri_scene, cfg_sorted, key, jnp.int32(1), cluster)
     b = fast.trace_sample_mesh(tri_scene, cfg_unsorted, key, jnp.int32(1), cluster)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
-def test_mesh_fused_sort_bit_identical(tri_scene):
+def test_mesh_fused_sort_bit_identical(tri_scene, cluster):
     """mesh_sort_fused (one lax.sort carrying all payloads) must produce the
     exact permutation of the argsort+gather path: stable sort, same key."""
     import dataclasses
 
     cfg = RenderConfig(trace_depth=4, sky_strength=0.5)
     cfg_fused = dataclasses.replace(cfg, mesh_sort_fused=True)
-    cluster = make_mesh_intersector(tri_scene, interpret=True)
     key = jax.random.PRNGKey(3)
+    # eager on purpose — see test_mesh_ray_sort_image_invariant
     a = fast.trace_sample_mesh(tri_scene, cfg, key, jnp.int32(1), cluster)
     b = fast.trace_sample_mesh(tri_scene, cfg_fused, key, jnp.int32(1), cluster)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_mesh_pipeline_matches_reference(tri_scene):
+def test_mesh_pipeline_matches_reference(tri_scene, cluster):
     cfg = RenderConfig(trace_depth=4, sky_strength=0.5)
-    cluster = make_mesh_intersector(tri_scene, interpret=True)
     key = jax.random.PRNGKey(0)
     n_samples = 6
+    # ref path: jit with iteration traced — one cheap compile (no pallas
+    # inside), then 6 fast executions. Mesh path stays eager: jitting the
+    # interpret-mode cluster kernel costs a ~60s XLA compile on a 1-core
+    # CI box, more than 6 eager renders.
+    ref_fn = jax.jit(lambda s, k, it: trace_sample(s, cfg, k, it))
     acc_mesh = jnp.zeros((tri_scene.camera.pixel_count, 3))
     acc_ref = jnp.zeros_like(acc_mesh)
     for i in range(n_samples):
         acc_mesh = acc_mesh + fast.trace_sample_mesh(
             tri_scene, cfg, key, jnp.int32(1 + i), cluster
         )
-        acc_ref = acc_ref + trace_sample(
-            tri_scene, cfg, key, jnp.int32(1 + i)
-        )
+        acc_ref = acc_ref + ref_fn(tri_scene, key, jnp.int32(1 + i))
     a = np.asarray(acc_mesh) / n_samples
     b = np.asarray(acc_ref) / n_samples
     assert np.isfinite(a).all()

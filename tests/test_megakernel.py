@@ -176,6 +176,9 @@ def test_megakernel_early_exit_bit_identical():
 
 
 def test_megakernel_iteration_decorrelation(scene):
+    # depth 2 is the minimum that can decorrelate: with a single bounce no
+    # drawn uniform influences the image (the scatter direction only matters
+    # once a second intersect consumes it), so iterations would be identical
     cfg = RenderConfig(trace_depth=2)
     a = np.asarray(
         megakernel.render_samples(scene, cfg, jnp.int32(0), jnp.int32(1), 1, interpret=True)

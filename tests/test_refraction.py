@@ -125,17 +125,25 @@ def test_glass_megakernel_matches_fast():
     scene = Scene.from_desc(desc)
     cfg = RenderConfig(enable_refraction=True, trace_depth=6)
     n_samples = 24
-    acc = megakernel.render_samples(
-        scene, cfg, jnp.int32(7), jnp.int32(1), n_samples, interpret=True
-    )
+    # shrink the ray tile to exactly the 48×48 scene (2304 px = 18 rows of
+    # 128 lanes) — the default 16k-lane tile would run 7× the interpret work
+    # on padding
+    rows, tile = megakernel.TILE_ROWS, megakernel.TILE
+    megakernel.TILE_ROWS, megakernel.TILE = 18, 18 * 128
+    try:
+        acc = megakernel.render_samples(
+            scene, cfg, jnp.int32(7), jnp.int32(1), n_samples, interpret=True
+        )
+    finally:
+        megakernel.TILE_ROWS, megakernel.TILE = rows, tile
     import jax
 
     key = jax.random.PRNGKey(7)
+    # jit with iteration traced: one compile, 24 fast executions
+    fast_fn = jax.jit(lambda s, k, it: fast.trace_sample_fast(s, cfg, k, it))
     acc_fast = jnp.zeros_like(acc)
     for i in range(n_samples):
-        acc_fast = acc_fast + fast.trace_sample_fast(
-            scene, cfg, key, jnp.int32(1 + i)
-        )
+        acc_fast = acc_fast + fast_fn(scene, key, jnp.int32(1 + i))
     a = np.asarray(acc) / n_samples
     b = np.asarray(acc_fast) / n_samples
     assert np.isfinite(a).all()
