@@ -24,6 +24,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache, same path as bench.py / tpu_experiments.py:
+# sweep reruns skip the 25-90s remote compile for already-seen shapes
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PT_COMPILE_CACHE", os.path.expanduser("~/.cache/jax_pt")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def sync(x):
     return float(jnp.sum(jnp.ravel(x)[:2]))
