@@ -78,6 +78,14 @@ def hash_bounce_uniforms(
     return jnp.stack(us)
 
 
+def nee_uniforms(base_key: jax.Array, iteration, depth, n: int) -> jax.Array:
+    """``[n, 3]`` uniforms for direct light sampling (light pick + 2 surface
+    coordinates; ops/lights.py). A separate fold tag keeps the existing
+    bounce streams bit-identical whether or not NEE is enabled."""
+    key = jax.random.fold_in(bounce_key(base_key, iteration, depth), 0x11EE)
+    return jax.random.uniform(key, (n, 3), jnp.float32)
+
+
 def pixel_jitter(base_key: jax.Array, iteration, n: int) -> jax.Array:
     """``[n, 2]`` sub-pixel jitter for antialiasing (extension: the reference
     generates rays through pixel corners with no jitter, `pathtrace.cu:278-282`)."""

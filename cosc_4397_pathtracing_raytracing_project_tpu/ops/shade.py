@@ -97,8 +97,16 @@ def shade_step(
     gather_mode: str = "throughput",
     sky_strength: float = 1.0,
     enable_refraction: bool = False,
+    nee=None,
+    prev_pdf: jnp.ndarray = None,
 ):
-    """One masked shade/extend pass. Returns ``(new_paths, radiance_contrib)``.
+    """One masked shade/extend pass. Returns ``(new_paths, radiance_contrib)``
+    — or, when ``nee`` (an :class:`~..ops.lights.NEEInputs`) is given,
+    ``(new_paths, radiance_contrib, prev_pdf_next)``: direct light is sampled
+    at every diffuse-capable vertex and combined with BRDF sampling by the
+    balance heuristic (see ops/lights.py). ``prev_pdf`` carries the solid-
+    angle density with which the previous vertex's diffuse lobe generated
+    this ray (−1 for primary/specular/glass rays, which keep MIS weight 1).
 
     ``uniforms`` is [N, rng.NUM_LANES]; ``depth`` is the 0-based bounce
     counter (scalar, may be traced).
@@ -128,6 +136,8 @@ def shade_step(
     if gather_mode not in ("throughput", "light_only"):
         raise ValueError(f"unknown gather_mode {gather_mode!r}")
     legacy = gather_mode == "throughput"
+    if nee is not None and legacy:
+        raise ValueError("nee requires gather_mode='light_only'")
 
     alive = paths.alive
     missed = hit.miss
@@ -158,6 +168,24 @@ def shade_step(
     emissive = mat["emittance"] > 0.0
     hit_light = act & emissive
     light_radiance = color * mat["color"] * mat["emittance"][:, None]
+    if nee is not None:
+        # MIS (balance heuristic): a BRDF-sampled emissive hit reached via
+        # the previous vertex's *diffuse* lobe competes with NEE having
+        # sampled the same point — weight by its share of the combined
+        # density (both converted to solid angle at the previous vertex).
+        # Primary/specular/glass rays (prev_pdf < 0) and points the sampler
+        # can't produce keep weight 1.
+        p_nee_area, sampled = nee.sampler.area_pdf_at(
+            hit.geom_index, hit.normal
+        )
+        cos_l = jnp.maximum(-linalg.dot(paths.direction, hit.normal), 1e-6)
+        p_nee_dir = p_nee_area * hit.t * hit.t / cos_l
+        w_emit = jnp.where(
+            (prev_pdf < 0.0) | ~sampled,
+            1.0,
+            prev_pdf / jnp.maximum(prev_pdf + p_nee_dir, 1e-20),
+        )
+        light_radiance = light_radiance * w_emit[:, None]
     if legacy:
         color = jnp.where(hit_light[:, None], light_radiance, color)
     else:
@@ -178,6 +206,7 @@ def shade_step(
     reflectivity = mat["reflectivity"]
     roughness = 1.0 - mat["refractive"]
     spec = act & (reflectivity > 0.0) & (u_branch < reflectivity)
+    glass_mask = jnp.zeros_like(act)
 
     spec_dir = sampling.perturbed_specular(
         paths.direction, hit.normal, roughness, u_a, u_c
@@ -228,6 +257,45 @@ def shade_step(
             tint,
         )
 
+    if nee is not None:
+        # ── direct light at this vertex (extension; ops/lights.py) ──
+        # Estimates the diffuse component of the mixture BRDF,
+        # (1−P_spec)·albedo/π, for every diffuse-capable lane regardless of
+        # which lobe the extension ray sampled; `color` here is the post-RR,
+        # pre-tint throughput — exactly T at this vertex. The balance-
+        # heuristic partner term lives at the emissive-hit branch above.
+        inv_pi = jnp.float32(0.3183098861837907)
+        base = act & ~glass_mask
+        sx = hit.point + hit.normal * _ORIGIN_OFFSET
+        lp, ln, pdf_a, le = nee.sampler.sample(nee.uniforms)
+        to_l = lp - sx
+        dist = linalg.norm(to_l)
+        wi = to_l / jnp.maximum(dist, 1e-12)[:, None]
+        cos_s = linalg.dot(hit.normal, wi)
+        cos_l = linalg.dot(ln, -wi)
+        facing = (cos_s > 0.0) & (cos_l > 0.0) & (dist > 1e-4)
+        sh = nee.shadow_isect(sx, wi)
+        # the sampled point itself intersects at ~dist (minus the
+        # intersector backoff); anything nearer occludes
+        visible = sh.t >= dist - jnp.maximum(1e-3, 1e-3 * dist)
+        diffuse_prob = 1.0 - reflectivity
+        w_diff = diffuse_prob[:, None] * mat["color"] * inv_pi
+        # balance heuristic vs the diffuse lobe's chance of hitting the
+        # same point by itself (both densities in area measure at the light)
+        p_brdf_area = (
+            diffuse_prob
+            * jnp.maximum(cos_s, 0.0)
+            * inv_pi
+            * jnp.maximum(cos_l, 0.0)
+            / jnp.maximum(dist * dist, 1e-12)
+        )
+        w_mis = pdf_a / jnp.maximum(pdf_a + p_brdf_area, 1e-20)
+        geom = cos_s * cos_l / jnp.maximum(dist * dist * pdf_a, 1e-20)
+        direct = color * w_diff * (geom * w_mis)[:, None] * le
+        contrib = jnp.where(
+            (base & facing & visible)[:, None], contrib + direct, contrib
+        )
+
     color = jnp.where(act[:, None], color * tint, color)
     origin = jnp.where(act[:, None], new_origin, paths.origin)
     direction = jnp.where(act[:, None], new_dir, paths.direction)
@@ -236,4 +304,18 @@ def shade_step(
     new_paths = PathState(
         origin=origin, direction=direction, color=color, bounces=bounces
     )
+    if nee is not None:
+        # Density with which THIS vertex's lobe choice generated the
+        # extension ray: diffuse lanes carry (1−P)·cosθ/π for the next
+        # emissive hit's MIS weight; specular/glass lobes are treated as
+        # delta (weight 1 → marker −1). Dead lanes never pass `act` again.
+        cos_new = jnp.maximum(linalg.dot(new_dir, hit.normal), 0.0)
+        inv_pi = jnp.float32(0.3183098861837907)
+        diffuse_ext = act & ~spec & ~glass_mask
+        pdf_next = jnp.where(
+            diffuse_ext,
+            (1.0 - reflectivity) * cos_new * inv_pi,
+            jnp.float32(-1.0),
+        )
+        return new_paths, contrib, pdf_next
     return new_paths, contrib

@@ -69,6 +69,7 @@ def render_chunk_sharded(
     num_samples: int,
     mesh: Mesh,
     intersector: Optional[Callable] = None,
+    light_sampler=None,
 ) -> RenderState:
     """Accumulate `num_samples` samples, sharded over the mesh. Both
     `num_samples` and the mesh are static; `num_samples` must divide by the
@@ -91,6 +92,7 @@ def render_chunk_sharded(
                 intersector,
                 pixel_offset=offset,
                 num_pixels=local_pixels,
+                light_sampler=light_sampler,
             )
             return acc + color, None
 

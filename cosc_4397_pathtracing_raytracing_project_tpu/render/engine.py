@@ -67,6 +67,12 @@ class RenderConfig:
     # row gather (identical permutation, stable sort). Off by default until
     # measured on TPU.
     mesh_sort_fused: bool = False
+    # Extension: next-event estimation (direct light sampling) — the working
+    # version of the reference's dead dev_lightPositions machinery
+    # (`pathtrace.cu:454-456,491-504`; see ops/lights.py). Changes the
+    # estimator (variance, not its mean), so it's off by default and
+    # supported on the 'reference' pipeline in light_only mode only.
+    nee: bool = False
     # Pipeline: 'pallas' = single-dispatch TPU megakernel (ops.pallas),
     # 'fast' = SoA unrolled XLA hot path (ops.fast), 'reference' = readable
     # [N,3] path (ops.intersect/shade). 'auto' picks the fastest the scene
@@ -76,6 +82,8 @@ class RenderConfig:
     def resolve_pipeline(self, scene: Scene) -> str:
         if self.pipeline != "auto":
             return self.pipeline
+        if self.nee:
+            return "reference"  # direct light sampling lives on this path
         from ..ops import fast as fast_mod
 
         try:
@@ -115,6 +123,7 @@ def trace_sample(
     intersector: Optional[Callable] = None,
     pixel_offset=0,
     num_pixels: Optional[int] = None,
+    light_sampler=None,
 ) -> jnp.ndarray:
     """Trace one sample per pixel; returns the [N, 3] color contribution.
 
@@ -123,6 +132,12 @@ def trace_sample(
     ``image[pixel] += color``, `pathtrace.cu:439-444`, happens in the
     caller's accumulate). `pixel_offset`/`num_pixels` select a contiguous
     tile of the flat pixel array (used by the sharded multi-chip path)."""
+    if config.nee and config.resolve_pipeline(scene) != "reference":
+        raise ValueError(
+            "nee is supported on the 'reference' pipeline only "
+            f"(resolved {config.resolve_pipeline(scene)!r}); set "
+            "pipeline='reference' or 'auto'"
+        )
     # 'pallas' is chunk-level (see make_pallas_step); at per-sample
     # granularity its XLA twin is the SoA fast path.
     if intersector is None and config.resolve_pipeline(scene) in ("fast", "pallas"):
@@ -136,6 +151,14 @@ def trace_sample(
     n = num_pixels if num_pixels is not None else cam.pixel_count
     isect = intersector if intersector is not None else intersect_scene
 
+    use_nee = config.nee
+    if use_nee and light_sampler is None:
+        raise ValueError(
+            "config.nee=True needs a light_sampler "
+            "(ops.lights.make_light_sampler on the concrete scene; the "
+            "Renderer builds one automatically)"
+        )
+
     jitter = (
         rng_ops.pixel_jitter(base_key, iteration, n) if config.antialias else None
     )
@@ -145,25 +168,52 @@ def trace_sample(
     paths = init_paths(origins, directions, config.trace_depth)
 
     def bounce(carry, depth):
-        paths, radiance = carry
+        paths, radiance, prev_pdf = carry
         uniforms = rng_ops.bounce_uniforms(base_key, iteration, depth, n)
         hit = isect(scene, paths.origin, paths.direction)
-        paths, contrib = shade_step(
-            paths,
-            hit,
-            scene.materials,
-            uniforms,
-            depth,
-            config.rr_start_depth,
-            gather_mode=config.gather_mode,
-            sky_strength=config.sky_strength,
-            enable_refraction=config.enable_refraction,
-        )
-        return (paths, radiance + contrib), None
+        if use_nee:
+            from ..ops.lights import NEEInputs
+
+            nee = NEEInputs(
+                sampler=light_sampler,
+                shadow_isect=lambda o, d: isect(scene, o, d),
+                uniforms=rng_ops.nee_uniforms(base_key, iteration, depth, n),
+            )
+            paths, contrib, prev_pdf = shade_step(
+                paths,
+                hit,
+                scene.materials,
+                uniforms,
+                depth,
+                config.rr_start_depth,
+                gather_mode=config.gather_mode,
+                sky_strength=config.sky_strength,
+                enable_refraction=config.enable_refraction,
+                nee=nee,
+                prev_pdf=prev_pdf,
+            )
+        else:
+            paths, contrib = shade_step(
+                paths,
+                hit,
+                scene.materials,
+                uniforms,
+                depth,
+                config.rr_start_depth,
+                gather_mode=config.gather_mode,
+                sky_strength=config.sky_strength,
+                enable_refraction=config.enable_refraction,
+            )
+        return (paths, radiance + contrib, prev_pdf), None
 
     radiance0 = jnp.zeros((n, 3), jnp.float32)
-    (paths, radiance), _ = jax.lax.scan(
-        bounce, (paths, radiance0), jnp.arange(config.trace_depth, dtype=jnp.int32)
+    # primary rays carry the delta marker: the camera "technique" has no
+    # NEE competitor, so direct light-hits keep full weight
+    pdf0 = jnp.full((n,), -1.0, jnp.float32)
+    (paths, radiance, _), _ = jax.lax.scan(
+        bounce,
+        (paths, radiance0, pdf0),
+        jnp.arange(config.trace_depth, dtype=jnp.int32),
     )
     if config.gather_mode == "throughput":
         # finalGather parity: every path adds its terminal throughput product.
@@ -177,13 +227,17 @@ def render_chunk(
     config: RenderConfig,
     num_samples: int,
     intersector: Optional[Callable] = None,
+    light_sampler=None,
 ) -> RenderState:
     """Accumulate `num_samples` full-frame samples into the state (one jitted
     call; `num_samples` is static)."""
 
     def body(accum, i):
         iteration = state.iteration + 1 + i  # 1-based like the reference
-        color = trace_sample(scene, config, state.key, iteration, intersector)
+        color = trace_sample(
+            scene, config, state.key, iteration, intersector,
+            light_sampler=light_sampler,
+        )
         return accum + color, None
 
     accum, _ = jax.lax.scan(
@@ -350,8 +404,22 @@ class Renderer:
             # M").
             isect = self._intersector
 
+            sampler = None
+            if config.nee:
+                from ..ops.lights import make_light_sampler
+
+                sampler = make_light_sampler(self.scene)
+                if sampler is None:
+                    raise ValueError(
+                        "config.nee=True but the scene has no emissive "
+                        "analytic (cube/sphere) lights to sample"
+                    )
+
             def _chunk(scene, state, config, num_samples):
-                return render_chunk(scene, state, config, num_samples, isect)
+                return render_chunk(
+                    scene, state, config, num_samples, isect,
+                    light_sampler=sampler,
+                )
 
             self._step = jax.jit(
                 _chunk, static_argnames=("config", "num_samples")

@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dielectric refraction via REFRIOR (extension; the "
                         "reference parses but never refracts). auto = on "
                         "when any material has REFR>0 and REFRIOR>0")
+    p.add_argument("--nee", action="store_true",
+                   help="direct light sampling + MIS (extension; the working "
+                        "version of the reference's dead dev_lightPositions). "
+                        "light_only estimator, reference pipeline only")
     p.add_argument("--depth", type=int, default=None, help="override DEPTH")
     p.add_argument("--chunk", type=int, default=25,
                    help="samples per device launch")
@@ -86,7 +90,14 @@ def main(argv=None) -> int:
         sky_strength=args.sky,
         samples_per_launch=args.chunk,
         enable_refraction=refraction,
+        nee=args.nee,
     )
+    if args.nee and args.estimator == "throughput":
+        print("error: --nee needs the light_only estimator", file=sys.stderr)
+        return 2
+    if args.nee and args.model != "auto":
+        print("error: --nee supports --model auto only", file=sys.stderr)
+        return 2
     if args.model == "auto":
         renderer = Renderer(desc, config, seed=args.seed)
     else:
