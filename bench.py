@@ -115,9 +115,17 @@ def main():
     renderer.step(chunk)
     renderer.reset()
 
-    t0 = time.perf_counter()
-    renderer.render(iters)
-    wall = time.perf_counter() - t0
+    # Best-of-N laps (default 3): the chip is pooled and tenant load drifts
+    # on a tens-of-seconds scale — identical configs measured 431-547 M
+    # rays/s in single laps. Best-of discards the contended laps and reports
+    # the machine's actual capability (CLAUDE.md: "take best-of-N").
+    laps = int(os.environ.get("PT_BENCH_LAPS", "3"))
+    wall = float("inf")
+    for _ in range(max(1, laps)):
+        renderer.reset()
+        t0 = time.perf_counter()
+        renderer.render(iters)
+        wall = min(wall, time.perf_counter() - t0)
 
     pixels = renderer.scene.camera.pixel_count
     rays_per_sec = pixels * iters / wall

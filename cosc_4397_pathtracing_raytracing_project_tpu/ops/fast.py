@@ -376,37 +376,38 @@ def shade_soa(carry, best: _Best, u, materials, depth, config):
     rx = dx - 2.0 * ddn * nx
     ry = dy - 2.0 * ddn * ny
     rz = dz - 2.0 * ddn * nz
-    tx, ty, tz, bx, by, bz = _local_frame(rx, ry, rz)
     ang = rough * u_a * (_PI * 0.5)
     sa = jnp.sin(ang)
     ca = jnp.cos(ang)
     ph_s = 2.0 * _PI * u_c
     cp_s = jnp.cos(ph_s)
     sp_s = jnp.sin(ph_s)
-    wx, wy, wz = sa * cp_s, ca, sa * sp_s
-    sdx = tx * wx + rx * wy + bx * wz
-    sdy = ty * wx + ry * wy + by * wz
-    sdz = tz * wx + rz * wy + bz * wz
-    rs = _rsqrt(jnp.maximum(sdx * sdx + sdy * sdy + sdz * sdz, 1e-20))
-    sdx, sdy, sdz = sdx * rs, sdy * rs, sdz * rs
-
     # cosine-weighted diffuse: cosθ=√(1-u_a), sinθ=√u_a (trig-free polar)
-    tx2, ty2, tz2, bx2, by2, bz2 = _local_frame(nx, ny, nz)
     st = jnp.sqrt(u_a)
     ct = jnp.sqrt(jnp.maximum(1.0 - u_a, 0.0))
     ph_d = 2.0 * _PI * u_b
     cp_d = jnp.cos(ph_d)
     sp_d = jnp.sin(ph_d)
-    qx, qy, qz = st * cp_d, ct, st * sp_d
-    ddx = tx2 * qx + nx * qy + bx2 * qz
-    ddy = ty2 * qx + ny * qy + by2 * qz
-    ddz = tz2 * qx + nz * qy + bz2 * qz
-    rd = _rsqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-20))
-    ddx, ddy, ddz = ddx * rd, ddy * rd, ddz * rd
-
-    new_dx = jnp.where(spec, sdx, ddx)
-    new_dy = jnp.where(spec, sdy, ddy)
-    new_dz = jnp.where(spec, sdz, ddz)
+    # A lane is either specular (cone around the reflection r) or diffuse
+    # (cosine lobe around the normal n), never both — so select the polar
+    # axis and the local-frame coefficients FIRST and build ONE orthonormal
+    # frame instead of two. Per lane the arithmetic (values and op order) is
+    # exactly what the two-frame form computed, so renders are bit-identical,
+    # but a _local_frame, a 9-mul combine and an _rsqrt renormalize drop out.
+    vax = jnp.where(spec, rx, nx)
+    vay = jnp.where(spec, ry, ny)
+    vaz = jnp.where(spec, rz, nz)
+    w0 = jnp.where(spec, sa * cp_s, st * cp_d)
+    w1 = jnp.where(spec, ca, ct)
+    w2 = jnp.where(spec, sa * sp_s, st * sp_d)
+    tx, ty, tz, bx, by, bz = _local_frame(vax, vay, vaz)
+    ndx = tx * w0 + vax * w1 + bx * w2
+    ndy = ty * w0 + vay * w1 + by * w2
+    ndz = tz * w0 + vaz * w1 + bz * w2
+    rs = _rsqrt(jnp.maximum(ndx * ndx + ndy * ndy + ndz * ndz, 1e-20))
+    new_dx = ndx * rs
+    new_dy = ndy * rs
+    new_dz = ndz * rs
     tint_r = jnp.where(spec, mat["sr"], mat["cr"])
     tint_g = jnp.where(spec, mat["sg"], mat["cg"])
     tint_b = jnp.where(spec, mat["sb"], mat["cb"])
@@ -589,6 +590,7 @@ def trace_sample_mesh(
     pixel = idx
 
     # scene bounds for the origin-cell sort key
+    cells = int(getattr(config, "mesh_sort_cells", 4))
     if getattr(config, "mesh_ray_sort", True):
         lo = jnp.minimum(
             scene.triangles.v0.min(axis=0),
@@ -604,7 +606,7 @@ def trace_sample_mesh(
                 (scene.triangles.v0 + scene.triangles.e2).max(axis=0),
             ),
         )
-        cell_scale = 4.0 / jnp.maximum(hi - lo, 1e-3)
+        cell_scale = float(cells) / jnp.maximum(hi - lo, 1e-3)
 
     def sort_rays(carry, pixel):
         """Reorder the wavefront by (origin cell, direction octant) so ray
@@ -620,11 +622,15 @@ def trace_sample_mesh(
             + 2 * (dy > 0).astype(jnp.int32)
             + 4 * (dz > 0).astype(jnp.int32)
         )
-        cx = jnp.clip(((ox - lo[0]) * cell_scale[0]).astype(jnp.int32), 0, 3)
-        cy = jnp.clip(((oy - lo[1]) * cell_scale[1]).astype(jnp.int32), 0, 3)
-        cz = jnp.clip(((oz - lo[2]) * cell_scale[2]).astype(jnp.int32), 0, 3)
-        key9 = octant + 8 * (cx + 4 * cy + 16 * cz)  # ≤ 519, 10 bits
-        key9 = jnp.where(alive, key9, jnp.int32(1023))  # dead lanes last
+        cx = jnp.clip(((ox - lo[0]) * cell_scale[0]).astype(jnp.int32), 0, cells - 1)
+        cy = jnp.clip(((oy - lo[1]) * cell_scale[1]).astype(jnp.int32), 0, cells - 1)
+        cz = jnp.clip(((oz - lo[2]) * cell_scale[2]).astype(jnp.int32), 0, cells - 1)
+        # cells=4 (default): key ≤ 519, 10 bits. Finer grids (cells=8 → 13
+        # bits) are a config knob for the fused path; the packed
+        # single-array sort below is only valid for ≤10-bit keys.
+        key9 = octant + 8 * (cx + cells * cy + cells * cells * cz)
+        dead_key = 8 * cells * cells * cells  # > any live key
+        key9 = jnp.where(alive, key9, jnp.int32(dead_key))  # dead lanes last
         if getattr(config, "mesh_sort_fused", False):
             # one fused stable sort carrying all 14 payload operands: the
             # sort network moves payloads in vector form instead of the
@@ -639,10 +645,11 @@ def trace_sample_mesh(
                 is_stable=True,
             )
             return out[1:14], out[14]
-        if n < (1 << 21):
+        if n < (1 << 21) and dead_key < (1 << 10):
             # single-array sort of (key << 21 | lane): half the sorted bytes
             # of argsort's (key, iota) pair sort. Max value 1023<<21 | (2^21-1)
-            # = int32 max, so the packed key never wraps negative.
+            # = int32 max, so the packed key never wraps negative (needs the
+            # ≤10-bit key of the default cells=4 grid).
             packed_key = (key9 << 21) | jnp.arange(n, dtype=jnp.int32)
             perm = jnp.sort(packed_key) & jnp.int32((1 << 21) - 1)
         else:

@@ -162,24 +162,28 @@ ABLATION = ""  # '' | 'noprng' | 'nointersect' | 'noscatter'
 # of num_samples ≤ INTERLEAVE (so any chunk size benefits).
 INTERLEAVE = 5
 # Pass the gmat/material tables as jit-static immediates (collapses the
-# per-material select chains at compile time). Unproven on the real TPU —
-# the remote compile service degraded (>20 min for ANY shape, including
-# previously-compiled ones) before a clean A/B completed — so the proven
-# SMEM-table config stays the default. Read in the unjitted wrapper, so
-# flipping it mid-process retraces correctly.
-STATIC_TABLES = False
+# per-material select chains at compile time). Fresh-process TPU A/B
+# (Cornell 800×800, 300 iters, 2026-08-17): 512.3 M rays/s vs 483.9 M with
+# SMEM tables — +5.9%, so immediates are the default. Cost: the executable
+# is keyed on material values, so editing a scene recompiles (scenes are
+# fixed after load; the camera stays a traced operand). Read in the
+# unjitted wrapper, so flipping it mid-process retraces correctly.
+STATIC_TABLES = True
 # Skip a bounce's entire vector body when every lane in the tile has
 # terminated (scalar any-alive reduce + lax.cond per bounce). Exact: each
 # bounce reseeds the PRNG from (seed, iteration, depth, tile), so skipping
 # a dead bounce never shifts a later bounce's stream; dead lanes are
 # already frozen by the `act` masks. Disabled in legacy/throughput mode,
 # where the reference-quirk sky multiply (`pathtrace.cu:358-362` parity)
-# keeps touching terminated lanes. Profitable only when whole tiles die
-# early (open scenes where rays escape to the sky); neutral-to-noise on
-# closed boxes where some lane in 2048 nearly always survives. Default off
-# until the TPU A/B lands (axon compile service was degraded when this was
-# written); CPU interpret-mode bit-identity vs off is proven for both
-# gather modes on scenes/sphere.txt.
+# keeps touching terminated lanes. Fresh-process TPU A/B (300 iters,
+# 2026-08-17): open sphere scene 1344.2 vs 794.6 M rays/s (+69% — whole
+# tiles die once their rays escape); closed Cornell 431.5 vs 483.9 M
+# (-11% — some lane in 2048 nearly always survives, so every tile pays the
+# reduce+cond for nothing). Scene-dependent ⇒ a config choice, not a
+# global: default off (headline scene is closed); enable per render with
+# RenderConfig(early_exit=True) / --early-exit for open scenes. The module
+# flag is the experiment override. CPU interpret-mode bit-identity vs off
+# is proven for both gather modes on scenes/sphere.txt.
 EARLY_EXIT = False
 
 
@@ -675,30 +679,32 @@ def _make_kernel(
                 cp2 = jnp.cos(ph2)
                 sp2 = jnp.sin(ph2)
 
-                tx, ty, tz, bxv, byv, bzv = frame(rx, ry, rz)
                 ang = rough * u_a * jnp.float32(_PI * 0.5)
                 sa = jnp.sin(ang)
                 ca = jnp.cos(ang)
-                # (t, r, b) is orthonormal and (sa·cp2, ca, sa·sp2) is unit, so
-                # the combined direction is already unit — no renormalize.
-                sacps = sa * cp2
-                sasps = sa * sp2
-                sdx = tx * sacps + rx * ca + bxv * sasps
-                sdy = ty * sacps + ry * ca + byv * sasps
-                sdz = tz * sacps + rz * ca + bzv * sasps
-
-                tx2, ty2, tz2, bx2, by2, bz2 = frame(nx, ny, nz)
                 st_ = jnp.sqrt(u_a)
                 ct_ = jnp.sqrt(jnp.maximum(1.0 - u_a, 0.0))
-                stcp = st_ * cp2
-                stsp = st_ * sp2
-                ddx = tx2 * stcp + nx * ct_ + bx2 * stsp
-                ddy = ty2 * stcp + ny * ct_ + by2 * stsp
-                ddz = tz2 * stcp + nz * ct_ + bz2 * stsp
-
-                ndx = jnp.where(spec, sdx, ddx)
-                ndy = jnp.where(spec, sdy, ddy)
-                ndz = jnp.where(spec, sdz, ddz)
+                # The exclusivity also lets the two frames collapse to one:
+                # select the polar axis (reflection for specular, normal for
+                # diffuse) and polar sin/cos FIRST, then build a single
+                # orthonormal frame around the selected axis. Each lane runs
+                # the exact arithmetic it ran before (same values, same op
+                # order), so renders are bit-identical — but one frame()
+                # (rsqrt + cross product) and one 9-mul combine disappear
+                # from every bounce.
+                vax = jnp.where(spec, rx, nx)
+                vay = jnp.where(spec, ry, ny)
+                vaz = jnp.where(spec, rz, nz)
+                s_pol = jnp.where(spec, sa, st_)
+                c_pol = jnp.where(spec, ca, ct_)
+                tx, ty, tz, bxv, byv, bzv = frame(vax, vay, vaz)
+                # (t, v, b) is orthonormal and (s·cp2, c, s·sp2) is unit, so
+                # the combined direction is already unit — no renormalize.
+                scp = s_pol * cp2
+                ssp = s_pol * sp2
+                ndx = tx * scp + vax * c_pol + bxv * ssp
+                ndy = ty * scp + vay * c_pol + byv * ssp
+                ndz = tz * scp + vaz * c_pol + bzv * ssp
                 t_r = jnp.where(spec, m_sr, m_cr)
                 t_g = jnp.where(spec, m_sg, m_cg)
                 t_b = jnp.where(spec, m_sb, m_cb)
@@ -878,7 +884,8 @@ def render_samples(
     return _render_samples_impl(
         scene, config, seed, iter_base, num_samples, interpret,
         pixel_offset, num_pixels, ABLATION, interleave, geom_kinds,
-        scene_static, tile_base, EARLY_EXIT,
+        scene_static, tile_base,
+        EARLY_EXIT or getattr(config, "early_exit", False),
     )
 
 

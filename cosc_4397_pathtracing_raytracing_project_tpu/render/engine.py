@@ -56,23 +56,38 @@ class RenderConfig:
     # Mesh pipeline: re-sort the wavefront by (origin cell, direction octant)
     # each bounce so tile-level cluster culling survives incoherent bounces.
     mesh_ray_sort: bool = True
-    # Sort every Nth bounce (1 = every bounce). Origins stay tile-coherent
-    # across a bounce; skipping resorts trades direction coherence for one
-    # argsort + wavefront gather per skipped bounce (the [N, 14] gather alone
-    # is ~76 ms at 2M rays — costlier than the argsort). 1080p sweep:
-    # every=1 789, every=2 730 ms/sample. Cadence never changes the image
-    # (pixel-keyed RNG + strict nearest-t winner).
-    mesh_sort_every: int = 2
+    # Sort every Nth bounce (1 = every bounce). With the fused sort the
+    # resort is cheap enough that full per-bounce culling coherence wins:
+    # 1080p/38.5k-tri TPU sweep (2026-08-17) 434 ms/sample fused+every=1 vs
+    # 529 fused+every=2 (and 787/733 for the old argsort+gather at
+    # every=1/2). Cadence never changes the image (pixel-keyed RNG + strict
+    # nearest-t winner).
+    mesh_sort_every: int = 1
     # Fused lax.sort carrying all wavefront payloads instead of argsort +
-    # row gather (identical permutation, stable sort). Off by default until
-    # measured on TPU.
-    mesh_sort_fused: bool = False
+    # row gather (identical permutation, stable sort). TPU A/B 2026-08-17:
+    # 4.78 M rays/s vs 2.64 with the separate gather (+81%) — the [N,14]
+    # row gather, not the sort network, was the bottleneck. Default on.
+    mesh_sort_fused: bool = True
+    # Origin-grid resolution of the sort key (cells³ × 8 octants buckets).
+    # 4 = 512 buckets (10-bit keys, enables the packed single-array sort on
+    # the non-fused path). Finer grids give tiles tighter frusta for
+    # cluster culling at the cost of sort depth.
+    mesh_sort_cells: int = 4
     # Extension: next-event estimation (direct light sampling) — the working
     # version of the reference's dead dev_lightPositions machinery
     # (`pathtrace.cu:454-456,491-504`; see ops/lights.py). Changes the
     # estimator (variance, not its mean), so it's off by default and
     # supported on the 'reference' pipeline in light_only mode only.
     nee: bool = False
+    # Megakernel: skip a bounce's whole vector body when every lane in a
+    # tile has terminated. Scene-dependent (TPU A/B, 2026-08-17): +69% on
+    # the open sphere scene (tiles die as rays escape), -11% on the closed
+    # Cornell box (a tile almost never fully dies, so the per-bounce
+    # reduce+cond is pure cost) — hence per-render opt-in, not a default.
+    # Exact for light_only: bounces reseed per (seed, iter, depth, tile).
+    # Ignored in throughput mode (the reference sky-multiply quirk keeps
+    # touching dead lanes).
+    early_exit: bool = False
     # Pipeline: 'pallas' = single-dispatch TPU megakernel (ops.pallas),
     # 'fast' = SoA unrolled XLA hot path (ops.fast), 'reference' = readable
     # [N,3] path (ops.intersect/shade). 'auto' picks the fastest the scene

@@ -48,8 +48,12 @@ def main():
                     help="samples per jitted dispatch")
     ap.add_argument("--sort-every", type=int, default=1,
                     help="sort the wavefront every Nth bounce")
-    ap.add_argument("--fused-sort", action="store_true",
-                    help="fused lax.sort with payloads instead of argsort+gather")
+    ap.add_argument("--fused-sort", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="fused lax.sort with payloads instead of argsort+"
+                         "gather (default on: 4.78 vs 2.64 M rays/s)")
+    ap.add_argument("--sort-cells", type=int, default=4,
+                    help="origin-grid resolution of the sort key")
     ap.add_argument("--tile-rows", type=int, default=None,
                     help="override mesh_kernel.TILE_ROWS (fresh process only)")
     args = ap.parse_args()
@@ -114,6 +118,7 @@ def main():
         mesh_ray_sort=not args.no_sort,
         mesh_sort_every=args.sort_every,
         mesh_sort_fused=args.fused_sort,
+        mesh_sort_cells=args.sort_cells,
     )
 
     import functools

@@ -67,9 +67,15 @@ def bench_renderer(scene_path: str, iters: int, chunk: int):
     )
     r.step(chunk)
     r.reset()
-    t0 = time.perf_counter()
-    r.render(iters)
-    wall = time.perf_counter() - t0
+    # best-of-3 laps: the pooled chip's tenant load drifts on a tens-of-
+    # seconds scale, and one 300-iter lap is only ~0.4 s of device work —
+    # single laps scatter ±15% (observed 431-547 M for identical configs).
+    wall = float("inf")
+    for _ in range(3):
+        r.reset()
+        t0 = time.perf_counter()
+        r.render(iters)
+        wall = min(wall, time.perf_counter() - t0)
     pixels = r.scene.camera.pixel_count
     return pixels * iters / wall, wall, pixels
 
@@ -83,6 +89,15 @@ def run_flag_experiment(name: str, args) -> dict:
         megakernel.STATIC_TABLES = True
     elif name == "early_exit":
         megakernel.EARLY_EXIT = True
+    elif name == "interleave":
+        megakernel.INTERLEAVE = args.interleave
+    elif name == "ablation":
+        # cost breakdown: time the kernel with one stage knocked out
+        # ('' control | noprng | nointersect | noscatter)
+        megakernel.ABLATION = args.ablation
+    elif name == "tile_rows":
+        megakernel.TILE_ROWS = args.tile_rows
+        megakernel.TILE = megakernel.TILE_ROWS * megakernel.LANES
     rays, wall, pixels = bench_renderer(args.scene, args.iters, args.chunk)
     return {
         "experiment": name,
@@ -93,6 +108,10 @@ def run_flag_experiment(name: str, args) -> dict:
         "wall_s": round(wall, 2),
         "static_tables": megakernel.STATIC_TABLES,
         "early_exit": megakernel.EARLY_EXIT,
+        "interleave": megakernel.INTERLEAVE,
+        "ablation": megakernel.ABLATION,
+        "tile_rows": megakernel.TILE_ROWS,
+        "chunk": args.chunk,
     }
 
 
@@ -122,38 +141,58 @@ def run_shard11(args) -> dict:
     scene = r.scene
     pixels = scene.camera.pixel_count
 
-    # plain: the Renderer's own step (one megakernel dispatch per chunk)
-    r.step(chunk)  # warm-up/compile
+    # plain warm-up/compile (one megakernel dispatch per chunk)
+    r.step(chunk)
     r.reset()
-    t0 = time.perf_counter()
-    for _ in range(args.iters // chunk):
-        r.step(chunk)
-    sync(r.state.accum)
-    wall_plain = time.perf_counter() - t0
 
-    # sharded: same computation through shard_map over a 1×1 mesh
+    # sharded warm-up: same computation through shard_map over a 1×1 mesh.
+    # TWO warm-up steps: the first compiles the fresh-state signature
+    # (accum unsharded), the second the steady-state signature (accum
+    # already mesh-sharded from the previous step's output). Timing from a
+    # fresh state would put the second compile INSIDE the timed region —
+    # observed as a fake 5x "shard overhead" in the r3 batch.
     mesh = make_mesh(1)
     cfg = RenderConfig(samples_per_launch=chunk, pipeline="pallas")
     step = make_sharded_pallas_step(scene, cfg, chunk, mesh)
-    state = RenderState.create(pixels, seed=0)
-    state = step(scene, state)  # warm-up/compile
+    state = step(scene, RenderState.create(pixels, seed=0))
+    state = step(scene, state)
     sync(state.accum)
-    state = RenderState.create(pixels, seed=0)
-    t0 = time.perf_counter()
-    for _ in range(args.iters // chunk):
-        state = step(scene, state)
-    sync(state.accum)
-    wall_shard = time.perf_counter() - t0
 
-    rays_plain = pixels * args.iters / wall_plain
-    rays_shard = pixels * args.iters / wall_shard
+    # The chip is pooled: another tenant's load drifts over tens of seconds,
+    # so back-to-back phases confound "shard overhead" with "chip got busy"
+    # (one batch run showed plain 186 vs sharded 541 M — a 3x swing that is
+    # pure tenancy noise). Alternate the two phases and take best-of-N per
+    # side: both sides sample the same load window and best-of discards the
+    # contended laps. sync = data-dependent scalar fetch (sync=False inside
+    # the loop: a remote fetch costs ~0.25 s, 6 per lap would swamp the
+    # ~0.4 s of device work).
+    steps = max(1, args.iters // chunk)
+    best_plain = float("inf")
+    best_shard = float("inf")
+    for _ in range(3):
+        r.reset()
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            r.step(chunk, sync=False)
+        sync(r.state.accum)
+        best_plain = min(best_plain, time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state = step(scene, state)
+        sync(state.accum)
+        best_shard = min(best_shard, time.perf_counter() - t0)
+
+    rays_plain = pixels * args.iters / best_plain
+    rays_shard = pixels * args.iters / best_shard
     return {
         "experiment": "shard11",
         "scene": os.path.basename(args.scene),
         "mrays_plain": round(rays_plain / 1e6, 1),
         "mrays_sharded_1x1": round(rays_shard / 1e6, 1),
-        "overhead_pct": round((wall_shard - wall_plain) / wall_plain * 100, 2),
+        "overhead_pct": round((best_shard - best_plain) / best_plain * 100, 2),
         "iters": args.iters,
+        "best_of": 3,
     }
 
 
@@ -161,8 +200,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "experiment",
-        choices=["headline", "static_tables", "early_exit", "shard11"],
+        choices=[
+            "headline", "static_tables", "early_exit", "shard11", "interleave",
+            "ablation", "tile_rows",
+        ],
     )
+    ap.add_argument("--interleave", type=int, default=10,
+                    help="INTERLEAVE override for the 'interleave' experiment")
+    ap.add_argument("--ablation", default="",
+                    help="ABLATION override: '' | noprng | nointersect | "
+                         "noscatter (cost breakdown)")
+    ap.add_argument("--tile-rows", type=int, default=16,
+                    help="TILE_ROWS override for the 'tile_rows' experiment")
     ap.add_argument(
         "--scene", default=os.path.join(REPO, "scenes", "cornell.txt")
     )

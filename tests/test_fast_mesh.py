@@ -99,13 +99,28 @@ def test_mesh_fused_sort_bit_identical(tri_scene, cluster):
     exact permutation of the argsort+gather path: stable sort, same key."""
     import dataclasses
 
-    cfg = RenderConfig(trace_depth=4, sky_strength=0.5)
+    cfg = RenderConfig(trace_depth=4, sky_strength=0.5, mesh_sort_fused=False)
     cfg_fused = dataclasses.replace(cfg, mesh_sort_fused=True)
     key = jax.random.PRNGKey(3)
     # eager on purpose — see test_mesh_ray_sort_image_invariant
     a = fast.trace_sample_mesh(tri_scene, cfg, key, jnp.int32(1), cluster)
     b = fast.trace_sample_mesh(tri_scene, cfg_fused, key, jnp.int32(1), cluster)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mesh_sort_cells_image_invariant(tri_scene, cluster):
+    """A finer origin grid (mesh_sort_cells=8) only changes the wavefront
+    permutation, never the image: radiance scatters back through pixel ids
+    and the intersector keeps a strict nearest-t winner."""
+    import dataclasses
+
+    cfg4 = RenderConfig(trace_depth=4, sky_strength=0.5)
+    cfg8 = dataclasses.replace(cfg4, mesh_sort_cells=8)
+    key = jax.random.PRNGKey(11)
+    # eager on purpose — see test_mesh_ray_sort_image_invariant
+    a = fast.trace_sample_mesh(tri_scene, cfg4, key, jnp.int32(1), cluster)
+    b = fast.trace_sample_mesh(tri_scene, cfg8, key, jnp.int32(1), cluster)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
 def test_mesh_pipeline_matches_reference(tri_scene, cluster):

@@ -170,9 +170,19 @@ def test_megakernel_early_exit_bit_identical():
                 sc, cfg, jnp.int32(0), jnp.int32(1), 1, interpret=True
             )
         )
+        # per-render opt-in must reach the kernel too (the module flag is
+        # the experiment override; RenderConfig.early_exit is the user API)
+        megakernel.EARLY_EXIT = False
+        via_cfg = np.asarray(
+            megakernel.render_samples(
+                sc, RenderConfig(trace_depth=4, early_exit=True),
+                jnp.int32(0), jnp.int32(1), 1, interpret=True,
+            )
+        )
     finally:
         megakernel.EARLY_EXIT = old
     np.testing.assert_array_equal(base, skip)
+    np.testing.assert_array_equal(base, via_cfg)
 
 
 def test_megakernel_iteration_decorrelation(scene):
