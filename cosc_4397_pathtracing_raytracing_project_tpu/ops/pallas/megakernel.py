@@ -185,6 +185,12 @@ STATIC_TABLES = True
 # flag is the experiment override. CPU interpret-mode bit-identity vs off
 # is proven for both gather modes on scenes/sphere.txt.
 EARLY_EXIT = False
+# Without antialias jitter the primary ray is iteration-invariant, so the
+# bounce-0 intersection + material select are the same for every sample in
+# the batch: compute them once per tile and reuse (exact — same arithmetic,
+# same values, bit-identical renders; proven in interpret mode). No effect
+# when antialias is on. Default pending a fresh-process TPU A/B.
+HOIST_PRIMARY = False
 
 
 def _static_geom_kinds(scene: Scene):
@@ -281,6 +287,7 @@ def _make_kernel(
     gmat_static: tuple = (),
     mat_static: tuple = (),
     early_exit: bool = False,
+    hoist_primary: bool = False,
 ):
     # legacy mode's sky multiply keeps updating terminated lanes (quirk
     # parity), so an all-dead bounce is NOT a no-op there — never skip
@@ -369,6 +376,220 @@ def _make_kernel(
         # generate them once per tile, not once per sample
         base_dir = None if antialias else raygen(px, py)
 
+        def intersect_all(ox, oy, oz, dx, dy, dz):
+            """Nearest hit over all primitives, unrolled. Returns
+            (t, world-normal xyz, material id[, outside]) in final form.
+
+            The object-space direction q_d = M⁻¹·d is left unnormalized,
+            which makes the slab/quadratic parameter s *directly* the
+            world-space distance (M·q_d = d with |d| = 1), comparable
+            across primitives with no per-geom normalization. The
+            reference's 1e-4 object-space backoff becomes a constant
+            world-space backoff (equivalent in purpose, cheaper).
+
+            Normals are produced in WORLD space inside each geom's
+            block (the winner-select then carries a final-form normal):
+            axis-aligned geoms (static `perm` kind) read theirs straight
+            off the face sign / scaled hit point, and only general
+            transforms pay the inverse-transpose matvec — cheaper than
+            the old carry-object-normal + 9-select-per-geom winner
+            transform."""
+            best_t = jnp.full(shape, _MISS)
+            best_nx = jnp.zeros(shape, jnp.float32)
+            best_ny = jnp.zeros(shape, jnp.float32)
+            best_nz = jnp.zeros(shape, jnp.float32)
+            best_mat = jnp.zeros(shape, jnp.int32)
+            if enable_refraction:
+                best_out = jnp.zeros(shape, jnp.int32) == 0  # all True
+
+            for k in range(0 if ablation == "nointersect" else k_total):
+                iv, it = geo_rows[k]
+                kind, perm = geom_kinds[k]
+                if perm is None:
+                    qox = iv[0] * ox + iv[1] * oy + iv[2] * oz + iv[3]
+                    qoy = iv[4] * ox + iv[5] * oy + iv[6] * oz + iv[7]
+                    qoz = iv[8] * ox + iv[9] * oy + iv[10] * oz + iv[11]
+                    qdx = iv[0] * dx + iv[1] * dy + iv[2] * dz
+                    qdy = iv[4] * dx + iv[5] * dy + iv[6] * dz
+                    qdz = iv[8] * dx + iv[9] * dy + iv[10] * dz
+                else:
+                    # axis-aligned: one nonzero per row of M⁻¹ (col
+                    # perm[r]) — 6 mul + 3 add instead of 21 ops
+                    pw = (ox, oy, oz)
+                    dw = (dx, dy, dz)
+                    c0, c1, c2 = perm
+                    qox = iv[c0] * pw[c0] + iv[3]
+                    qoy = iv[4 + c1] * pw[c1] + iv[7]
+                    qoz = iv[8 + c2] * pw[c2] + iv[11]
+                    qdx = iv[c0] * dw[c0]
+                    qdy = iv[4 + c1] * dw[c1]
+                    qdz = iv[8 + c2] * dw[c2]
+
+                if k < num_cubes:
+                    ix = _recip(qdx)
+                    iy = _recip(qdy)
+                    iz = _recip(qdz)
+                    t1x = (-0.5 - qox) * ix
+                    t2x = (0.5 - qox) * ix
+                    t1y = (-0.5 - qoy) * iy
+                    t2y = (0.5 - qoy) * iy
+                    t1z = (-0.5 - qoz) * iz
+                    t2z = (0.5 - qoz) * iz
+                    tax = jnp.minimum(t1x, t2x)
+                    tbx = jnp.maximum(t1x, t2x)
+                    tay = jnp.minimum(t1y, t2y)
+                    tby = jnp.maximum(t1y, t2y)
+                    taz = jnp.minimum(t1z, t2z)
+                    tbz = jnp.maximum(t1z, t2z)
+                    sgx = jnp.where(t2x < t1x, 1.0, -1.0)
+                    sgy = jnp.where(t2y < t1y, 1.0, -1.0)
+                    sgz = jnp.where(t2z < t1z, 1.0, -1.0)
+                    ax = jnp.where(tax > 0, tax, -_FMAX)
+                    ay = jnp.where(tay > 0, tay, -_FMAX)
+                    az = jnp.where(taz > 0, taz, -_FMAX)
+                    bx = jnp.where(tbx < _FMAX, tbx, _FMAX)
+                    by = jnp.where(tby < _FMAX, tby, _FMAX)
+                    bz = jnp.where(tbz < _FMAX, tbz, _FMAX)
+                    s_min = jnp.maximum(ax, jnp.maximum(ay, az))
+                    s_max = jnp.minimum(bx, jnp.minimum(by, bz))
+                    min_is_x = (ax >= ay) & (ax >= az)
+                    min_is_y = ~min_is_x & (ay >= az)
+                    max_is_x = (bx <= by) & (bx <= bz)
+                    max_is_y = ~max_is_x & (by <= bz)
+                    outside = s_min > 0
+                    hit = (s_max >= s_min) & (s_max > 0)
+                    sparam = jnp.where(outside, s_min, s_max)
+                    # NB: bool-valued jnp.where (i1 select) doesn't lower
+                    # in Mosaic — use boolean algebra instead.
+                    use_x = (outside & min_is_x) | (~outside & max_is_x)
+                    use_y = (outside & min_is_y) | (~outside & max_is_y)
+                    t_world = sparam - _BACKOFF
+                    # world normal = invT · (face axis · sign)
+                    if perm is not None:
+                        # one nonzero per invT column: the face-a normal
+                        # lands on world row perm[a]
+                        inv_p = [perm.index(r) for r in range(3)]
+                        sgs = (sgx, sgy, sgz)
+                        sels = (use_x, use_y, ~(use_x | use_y))
+                        wn = []
+                        for r in range(3):
+                            a = inv_p[r]
+                            wn.append(
+                                jnp.where(sels[a], sgs[a] * it[r * 3 + a], 0.0)
+                            )
+                        nox, noy, noz = wn
+                    else:
+                        sfx = jnp.where(use_x, 1.0, 0.0)
+                        sfy = jnp.where(use_y, 1.0, 0.0)
+                        gx = sgx * sfx
+                        gy = sgy * sfy
+                        gz = sgz * (1.0 - sfx - sfy)
+                        nox = gx * it[0] + gy * it[1] + gz * it[2]
+                        noy = gx * it[3] + gy * it[4] + gz * it[5]
+                        noz = gx * it[6] + gy * it[7] + gz * it[8]
+                else:
+                    nq2 = qdx * qdx + qdy * qdy + qdz * qdz
+                    b = qox * qdx + qoy * qdy + qoz * qdz
+                    c = qox * qox + qoy * qoy + qoz * qoz - 0.25
+                    disc = b * b - nq2 * c
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    inv_a = _recip(nq2)
+                    s1 = (-b + sq) * inv_a
+                    s2 = (-b - sq) * inv_a
+                    both_neg = (s1 < 0) & (s2 < 0)
+                    both_pos = (s1 > 0) & (s2 > 0)
+                    sparam = jnp.where(
+                        both_pos, jnp.minimum(s1, s2), jnp.maximum(s1, s2)
+                    )
+                    hit = (disc >= 0) & ~both_neg
+                    t_world = sparam - _BACKOFF
+                    flip = jnp.where(both_pos, 1.0, -1.0)
+                    sx_ = (qox + t_world * qdx) * flip
+                    sy_ = (qoy + t_world * qdy) * flip
+                    sz_ = (qoz + t_world * qdz) * flip
+                    # world normal = invT · n_obj
+                    if perm is not None:
+                        inv_p = [perm.index(r) for r in range(3)]
+                        sv = (sx_, sy_, sz_)
+                        nox = it[0 * 3 + inv_p[0]] * sv[inv_p[0]]
+                        noy = it[1 * 3 + inv_p[1]] * sv[inv_p[1]]
+                        noz = it[2 * 3 + inv_p[2]] * sv[inv_p[2]]
+                    else:
+                        nox = it[0] * sx_ + it[1] * sy_ + it[2] * sz_
+                        noy = it[3] * sx_ + it[4] * sy_ + it[5] * sz_
+                        noz = it[6] * sx_ + it[7] * sy_ + it[8] * sz_
+
+                better = hit & (t_world > 0) & (t_world < best_t)
+                best_t = jnp.where(better, t_world, best_t)
+                best_nx = jnp.where(better, nox, best_nx)
+                best_ny = jnp.where(better, noy, best_ny)
+                best_nz = jnp.where(better, noz, best_nz)
+                best_mat = jnp.where(better, gmat[k], best_mat)
+                if enable_refraction:
+                    hit_out = outside if k < num_cubes else both_pos
+                    best_out = (best_out & ~better) | (hit_out & better)
+
+            # winner normal is already world-space: one normalize
+            rw = jax.lax.rsqrt(
+                jnp.maximum(
+                    best_nx * best_nx + best_ny * best_ny + best_nz * best_nz,
+                    1e-30,
+                )
+            )
+            best_nx = best_nx * rw
+            best_ny = best_ny * rw
+            best_nz = best_nz * rw
+            if enable_refraction:
+                return (best_t, best_nx, best_ny, best_nz, best_mat, best_out)
+            return (best_t, best_nx, best_ny, best_nz, best_mat)
+
+        def fetch_material(best_mat):
+            """Material property select chains (shared-mem cache analog)."""
+            m_cr = jnp.zeros(shape, jnp.float32)
+            m_cg = jnp.zeros(shape, jnp.float32)
+            m_cb = jnp.zeros(shape, jnp.float32)
+            m_sr = jnp.zeros(shape, jnp.float32)
+            m_sg = jnp.zeros(shape, jnp.float32)
+            m_sb = jnp.zeros(shape, jnp.float32)
+            m_refl = jnp.zeros(shape, jnp.float32)
+            m_refr = jnp.zeros(shape, jnp.float32)
+            m_emit = jnp.zeros(shape, jnp.float32)
+            if enable_refraction:
+                m_ior = jnp.zeros(shape, jnp.float32)
+            for i in range(num_materials):
+                sel = best_mat == i
+                row = mat_rows[i]
+                m_cr = jnp.where(sel, row[0], m_cr)
+                m_cg = jnp.where(sel, row[1], m_cg)
+                m_cb = jnp.where(sel, row[2], m_cb)
+                m_sr = jnp.where(sel, row[3], m_sr)
+                m_sg = jnp.where(sel, row[4], m_sg)
+                m_sb = jnp.where(sel, row[5], m_sb)
+                m_refl = jnp.where(sel, row[6], m_refl)
+                m_refr = jnp.where(sel, row[7], m_refr)
+                m_emit = jnp.where(sel, row[8], m_emit)
+                if enable_refraction:
+                    m_ior = jnp.where(sel, row[9], m_ior)
+            if enable_refraction:
+                return (m_cr, m_cg, m_cb, m_sr, m_sg, m_sb, m_refl, m_refr,
+                        m_emit, m_ior)
+            return (m_cr, m_cg, m_cb, m_sr, m_sg, m_sb, m_refl, m_refr,
+                    m_emit)
+
+        # With no sub-pixel jitter the primary ray — and therefore the
+        # bounce-0 hit and its material row — is the same for EVERY sample
+        # in the batch: hoist that intersection out of the sample loop and
+        # compute it once per tile. Exact (same arithmetic, same values),
+        # so renders are bit-identical; the values are loop-invariant
+        # registers/VMEM across the whole batch.
+        pre0 = None
+        if hoist_primary and not antialias:
+            o0x = jnp.full(shape, pos[0])
+            o0y = jnp.full(shape, pos[1])
+            o0z = jnp.full(shape, pos[2])
+            hit0 = intersect_all(o0x, o0y, o0z, *base_dir)
+            pre0 = (hit0, fetch_material(hit0[4]))
+
         def init_sample(iteration):
             if antialias:
                 seed_prng(_mix(seed, iteration, jnp.int32(0xAA), tile))
@@ -391,7 +612,7 @@ def _make_kernel(
                     rad_r, rad_g, rad_b)
 
         def make_bounce(iteration):
-            def bounce_body(depth, st):
+            def bounce_body(depth, st, pre=None):
                 (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                  rad_r, rad_g, rad_b) = st
                 if ablation == "noprng":
@@ -406,166 +627,14 @@ def _make_kernel(
                     u_a = draw_u01()
                     u_b = draw_u01()
 
-                # ── nearest hit, unrolled over primitives ──
-                best_t = jnp.full(shape, _MISS)
-                best_nx = jnp.zeros(shape, jnp.float32)
-                best_ny = jnp.zeros(shape, jnp.float32)
-                best_nz = jnp.zeros(shape, jnp.float32)
-                best_mat = jnp.zeros(shape, jnp.int32)
-                if enable_refraction:
-                    best_out = jnp.zeros(shape, jnp.int32) == 0  # all True
-
-                # The object-space direction q_d = M⁻¹·d is left unnormalized,
-                # which makes the slab/quadratic parameter s *directly* the
-                # world-space distance (M·q_d = d with |d| = 1), comparable
-                # across primitives with no per-geom normalization. The
-                # reference's 1e-4 object-space backoff becomes a constant
-                # world-space backoff (equivalent in purpose, cheaper).
-                #
-                # Normals are produced in WORLD space inside each geom's
-                # block (the winner-select then carries a final-form normal):
-                # axis-aligned geoms (static `perm` kind) read theirs straight
-                # off the face sign / scaled hit point, and only general
-                # transforms pay the inverse-transpose matvec — cheaper than
-                # the old carry-object-normal + 9-select-per-geom winner
-                # transform.
-                for k in range(0 if ablation == "nointersect" else k_total):
-                    iv, it = geo_rows[k]
-                    kind, perm = geom_kinds[k]
-                    if perm is None:
-                        qox = iv[0] * ox + iv[1] * oy + iv[2] * oz + iv[3]
-                        qoy = iv[4] * ox + iv[5] * oy + iv[6] * oz + iv[7]
-                        qoz = iv[8] * ox + iv[9] * oy + iv[10] * oz + iv[11]
-                        qdx = iv[0] * dx + iv[1] * dy + iv[2] * dz
-                        qdy = iv[4] * dx + iv[5] * dy + iv[6] * dz
-                        qdz = iv[8] * dx + iv[9] * dy + iv[10] * dz
-                    else:
-                        # axis-aligned: one nonzero per row of M⁻¹ (col
-                        # perm[r]) — 6 mul + 3 add instead of 21 ops
-                        pw = (ox, oy, oz)
-                        dw = (dx, dy, dz)
-                        c0, c1, c2 = perm
-                        qox = iv[c0] * pw[c0] + iv[3]
-                        qoy = iv[4 + c1] * pw[c1] + iv[7]
-                        qoz = iv[8 + c2] * pw[c2] + iv[11]
-                        qdx = iv[c0] * dw[c0]
-                        qdy = iv[4 + c1] * dw[c1]
-                        qdz = iv[8 + c2] * dw[c2]
-
-                    if k < num_cubes:
-                        ix = _recip(qdx)
-                        iy = _recip(qdy)
-                        iz = _recip(qdz)
-                        t1x = (-0.5 - qox) * ix
-                        t2x = (0.5 - qox) * ix
-                        t1y = (-0.5 - qoy) * iy
-                        t2y = (0.5 - qoy) * iy
-                        t1z = (-0.5 - qoz) * iz
-                        t2z = (0.5 - qoz) * iz
-                        tax = jnp.minimum(t1x, t2x)
-                        tbx = jnp.maximum(t1x, t2x)
-                        tay = jnp.minimum(t1y, t2y)
-                        tby = jnp.maximum(t1y, t2y)
-                        taz = jnp.minimum(t1z, t2z)
-                        tbz = jnp.maximum(t1z, t2z)
-                        sgx = jnp.where(t2x < t1x, 1.0, -1.0)
-                        sgy = jnp.where(t2y < t1y, 1.0, -1.0)
-                        sgz = jnp.where(t2z < t1z, 1.0, -1.0)
-                        ax = jnp.where(tax > 0, tax, -_FMAX)
-                        ay = jnp.where(tay > 0, tay, -_FMAX)
-                        az = jnp.where(taz > 0, taz, -_FMAX)
-                        bx = jnp.where(tbx < _FMAX, tbx, _FMAX)
-                        by = jnp.where(tby < _FMAX, tby, _FMAX)
-                        bz = jnp.where(tbz < _FMAX, tbz, _FMAX)
-                        s_min = jnp.maximum(ax, jnp.maximum(ay, az))
-                        s_max = jnp.minimum(bx, jnp.minimum(by, bz))
-                        min_is_x = (ax >= ay) & (ax >= az)
-                        min_is_y = ~min_is_x & (ay >= az)
-                        max_is_x = (bx <= by) & (bx <= bz)
-                        max_is_y = ~max_is_x & (by <= bz)
-                        outside = s_min > 0
-                        hit = (s_max >= s_min) & (s_max > 0)
-                        sparam = jnp.where(outside, s_min, s_max)
-                        # NB: bool-valued jnp.where (i1 select) doesn't lower
-                        # in Mosaic — use boolean algebra instead.
-                        use_x = (outside & min_is_x) | (~outside & max_is_x)
-                        use_y = (outside & min_is_y) | (~outside & max_is_y)
-                        t_world = sparam - _BACKOFF
-                        # world normal = invT · (face axis · sign)
-                        if perm is not None:
-                            # one nonzero per invT column: the face-a normal
-                            # lands on world row perm[a]
-                            inv_p = [perm.index(r) for r in range(3)]
-                            sgs = (sgx, sgy, sgz)
-                            sels = (use_x, use_y, ~(use_x | use_y))
-                            wn = []
-                            for r in range(3):
-                                a = inv_p[r]
-                                wn.append(
-                                    jnp.where(sels[a], sgs[a] * it[r * 3 + a], 0.0)
-                                )
-                            nox, noy, noz = wn
-                        else:
-                            sfx = jnp.where(use_x, 1.0, 0.0)
-                            sfy = jnp.where(use_y, 1.0, 0.0)
-                            gx = sgx * sfx
-                            gy = sgy * sfy
-                            gz = sgz * (1.0 - sfx - sfy)
-                            nox = gx * it[0] + gy * it[1] + gz * it[2]
-                            noy = gx * it[3] + gy * it[4] + gz * it[5]
-                            noz = gx * it[6] + gy * it[7] + gz * it[8]
-                    else:
-                        nq2 = qdx * qdx + qdy * qdy + qdz * qdz
-                        b = qox * qdx + qoy * qdy + qoz * qdz
-                        c = qox * qox + qoy * qoy + qoz * qoz - 0.25
-                        disc = b * b - nq2 * c
-                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                        inv_a = _recip(nq2)
-                        s1 = (-b + sq) * inv_a
-                        s2 = (-b - sq) * inv_a
-                        both_neg = (s1 < 0) & (s2 < 0)
-                        both_pos = (s1 > 0) & (s2 > 0)
-                        sparam = jnp.where(
-                            both_pos, jnp.minimum(s1, s2), jnp.maximum(s1, s2)
-                        )
-                        hit = (disc >= 0) & ~both_neg
-                        t_world = sparam - _BACKOFF
-                        flip = jnp.where(both_pos, 1.0, -1.0)
-                        sx_ = (qox + t_world * qdx) * flip
-                        sy_ = (qoy + t_world * qdy) * flip
-                        sz_ = (qoz + t_world * qdz) * flip
-                        # world normal = invT · n_obj
-                        if perm is not None:
-                            inv_p = [perm.index(r) for r in range(3)]
-                            sv = (sx_, sy_, sz_)
-                            nox = it[0 * 3 + inv_p[0]] * sv[inv_p[0]]
-                            noy = it[1 * 3 + inv_p[1]] * sv[inv_p[1]]
-                            noz = it[2 * 3 + inv_p[2]] * sv[inv_p[2]]
-                        else:
-                            nox = it[0] * sx_ + it[1] * sy_ + it[2] * sz_
-                            noy = it[3] * sx_ + it[4] * sy_ + it[5] * sz_
-                            noz = it[6] * sx_ + it[7] * sy_ + it[8] * sz_
-
-                    better = hit & (t_world > 0) & (t_world < best_t)
-                    best_t = jnp.where(better, t_world, best_t)
-                    best_nx = jnp.where(better, nox, best_nx)
-                    best_ny = jnp.where(better, noy, best_ny)
-                    best_nz = jnp.where(better, noz, best_nz)
-                    best_mat = jnp.where(better, gmat[k], best_mat)
-                    if enable_refraction:
-                        hit_out = outside if k < num_cubes else both_pos
-                        best_out = (best_out & ~better) | (hit_out & better)
-
-                # winner normal is already world-space: one normalize
-                rw = jax.lax.rsqrt(
-                    jnp.maximum(
-                        best_nx * best_nx + best_ny * best_ny + best_nz * best_nz,
-                        1e-30,
-                    )
+                # ── nearest hit (precomputed for the hoisted bounce 0) ──
+                hit = pre[0] if pre is not None else intersect_all(
+                    ox, oy, oz, dx, dy, dz
                 )
-                best_nx = best_nx * rw
-                best_ny = best_ny * rw
-                best_nz = best_nz * rw
+                if enable_refraction:
+                    best_t, best_nx, best_ny, best_nz, best_mat, best_out = hit
+                else:
+                    best_t, best_nx, best_ny, best_nz, best_mat = hit
 
                 missed = best_t >= _MISS
                 alive = bounces > 0
@@ -588,32 +657,14 @@ def _make_kernel(
 
                 act = ~missed & alive
 
-                # ── material select (shared-mem cache analog) ──
-                m_cr = jnp.zeros(shape, jnp.float32)
-                m_cg = jnp.zeros(shape, jnp.float32)
-                m_cb = jnp.zeros(shape, jnp.float32)
-                m_sr = jnp.zeros(shape, jnp.float32)
-                m_sg = jnp.zeros(shape, jnp.float32)
-                m_sb = jnp.zeros(shape, jnp.float32)
-                m_refl = jnp.zeros(shape, jnp.float32)
-                m_refr = jnp.zeros(shape, jnp.float32)
-                m_emit = jnp.zeros(shape, jnp.float32)
+                # ── material select (precomputed for the hoisted bounce 0) ──
+                msel = pre[1] if pre is not None else fetch_material(best_mat)
                 if enable_refraction:
-                    m_ior = jnp.zeros(shape, jnp.float32)
-                for i in range(num_materials):
-                    sel = best_mat == i
-                    row = mat_rows[i]
-                    m_cr = jnp.where(sel, row[0], m_cr)
-                    m_cg = jnp.where(sel, row[1], m_cg)
-                    m_cb = jnp.where(sel, row[2], m_cb)
-                    m_sr = jnp.where(sel, row[3], m_sr)
-                    m_sg = jnp.where(sel, row[4], m_sg)
-                    m_sb = jnp.where(sel, row[5], m_sb)
-                    m_refl = jnp.where(sel, row[6], m_refl)
-                    m_refr = jnp.where(sel, row[7], m_refr)
-                    m_emit = jnp.where(sel, row[8], m_emit)
-                    if enable_refraction:
-                        m_ior = jnp.where(sel, row[9], m_ior)
+                    (m_cr, m_cg, m_cb, m_sr, m_sg, m_sb, m_refl, m_refr,
+                     m_emit, m_ior) = msel
+                else:
+                    (m_cr, m_cg, m_cb, m_sr, m_sg, m_sb, m_refl, m_refr,
+                     m_emit) = msel
 
                 # ── emissive termination ──
                 emissive = m_emit > 0.0
@@ -777,10 +828,13 @@ def _make_kernel(
             return (acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
 
         def bounce_step(bounce_fn, depth, st):
-            # Lanes can first go all-dead after bounce 0 ran, so depth 0
-            # (and every bounce when early_exit is off) calls straight in.
+            # depth 0 reuses the hoisted primary hit (pre0 is None when
+            # antialias jitters the primaries). Lanes can first go all-dead
+            # after bounce 0 ran, so depth 0 (and every bounce when
+            # early_exit is off) calls straight in.
+            pre = pre0 if depth == 0 else None
             if not early_exit or depth == 0:
-                return bounce_fn(depth, st)
+                return bounce_fn(depth, st, pre)
             return jax.lax.cond(
                 jnp.any(st[9] > 0),  # st[9] = bounces-remaining
                 lambda s: bounce_fn(depth, s),
@@ -886,6 +940,7 @@ def render_samples(
         pixel_offset, num_pixels, ABLATION, interleave, geom_kinds,
         scene_static, tile_base,
         EARLY_EXIT or getattr(config, "early_exit", False),
+        HOIST_PRIMARY,
     )
 
 
@@ -894,7 +949,7 @@ def render_samples(
     static_argnames=(
         "config", "num_samples", "interpret", "num_pixels",
         "ablation", "interleave", "geom_kinds", "scene_static",
-        "early_exit",
+        "early_exit", "hoist_primary",
     ),
 )
 def _render_samples_impl(
@@ -912,6 +967,7 @@ def _render_samples_impl(
     scene_static: tuple = ((), (), ()),
     tile_base=None,
     early_exit: bool = False,
+    hoist_primary: bool = False,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch.
 
@@ -989,6 +1045,7 @@ def _render_samples_impl(
         gmat_static=scene_static[1],
         mat_static=scene_static[2],
         early_exit=early_exit,
+        hoist_primary=hoist_primary,
     )
 
     grid = n_pad // TILE

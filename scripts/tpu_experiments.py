@@ -98,6 +98,8 @@ def run_flag_experiment(name: str, args) -> dict:
     elif name == "tile_rows":
         megakernel.TILE_ROWS = args.tile_rows
         megakernel.TILE = megakernel.TILE_ROWS * megakernel.LANES
+    elif name == "hoist":
+        megakernel.HOIST_PRIMARY = True
     rays, wall, pixels = bench_renderer(args.scene, args.iters, args.chunk)
     return {
         "experiment": name,
@@ -202,7 +204,7 @@ def main():
         "experiment",
         choices=[
             "headline", "static_tables", "early_exit", "shard11", "interleave",
-            "ablation", "tile_rows",
+            "ablation", "tile_rows", "hoist",
         ],
     )
     ap.add_argument("--interleave", type=int, default=10,

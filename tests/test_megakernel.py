@@ -185,6 +185,33 @@ def test_megakernel_early_exit_bit_identical():
     np.testing.assert_array_equal(base, via_cfg)
 
 
+@pytest.mark.slow
+def test_megakernel_hoist_primary_bit_identical(scene):
+    """HOIST_PRIMARY=True (compute the iteration-invariant bounce-0
+    intersection + material select once per tile, outside the sample loop)
+    must be bit-identical to the default: identical arithmetic on identical
+    inputs, only evaluated once instead of per sample. Two samples so the
+    hoisted values are actually reused across iterations."""
+    cfg = RenderConfig(trace_depth=3)
+    old = megakernel.HOIST_PRIMARY
+    try:
+        megakernel.HOIST_PRIMARY = False
+        base = np.asarray(
+            megakernel.render_samples(
+                scene, cfg, jnp.int32(0), jnp.int32(1), 2, interpret=True
+            )
+        )
+        megakernel.HOIST_PRIMARY = True
+        hoist = np.asarray(
+            megakernel.render_samples(
+                scene, cfg, jnp.int32(0), jnp.int32(1), 2, interpret=True
+            )
+        )
+    finally:
+        megakernel.HOIST_PRIMARY = old
+    np.testing.assert_array_equal(base, hoist)
+
+
 def test_megakernel_iteration_decorrelation(scene):
     # depth 2 is the minimum that can decorrelate: with a single bounce no
     # drawn uniform influences the image (the scatter direction only matters
