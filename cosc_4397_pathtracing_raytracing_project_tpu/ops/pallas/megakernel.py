@@ -71,6 +71,14 @@ def _u01(shape):
     return top24.astype(jnp.float32) * jnp.float32(2.0**-24)
 
 
+def _lane_ids(shape):
+    # Mosaic only lowers int32 iota; build lane ids signed and bitcast.
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    flat = rows * jnp.int32(shape[1]) + cols
+    return jax.lax.bitcast_convert_type(flat, jnp.uint32)
+
+
 class _HashPrng:
     """Pure-jnp counter-hash PRNG used in interpret mode (pltpu.prng_* has no
     CPU lowering). Same replayability contract: uniforms are a function of
@@ -79,9 +87,7 @@ class _HashPrng:
     def __init__(self, shape):
         self.seed = jnp.uint32(0)
         self.counter = 0
-        rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-        cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-        self.lane = rows * jnp.uint32(shape[1]) + cols
+        self.lane = _lane_ids(shape)
 
     def reseed(self, seed):
         self.seed = jnp.asarray(seed).astype(jnp.uint32)
@@ -92,9 +98,7 @@ class _HashPrng:
         if shape == self.lane.shape:
             lane = self.lane
         else:  # batched draws: lane ids for the wider block
-            rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-            cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-            lane = rows * jnp.uint32(shape[1]) + cols
+            lane = _lane_ids(shape)
         x = lane ^ (self.seed * jnp.uint32(0x9E3779B9))
         x = x + jnp.uint32(self.counter) * jnp.uint32(0x85EBCA6B)
         x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
@@ -155,12 +159,16 @@ ABLATION = ""  # '' | 'noprng' | 'nointersect' | 'noscatter'
 # Sample chains interleaved per loop iteration: N independent chains
 # advanced bounce-by-bounce let the scheduler overlap one chain's
 # transcendental/divide latency with the others' arithmetic. Fresh-process
-# sweep on Cornell 800×800 (TR=tile rows): TR16/IL1 476, TR16/IL2 501,
-# TR16/IL5 528, TR8/IL1 474, TR32/IL1 444 M rays/s. Accumulation order is
-# unchanged (ascending iteration), so renders are bit-identical across
-# interleave factors. The effective factor per call is the largest divisor
-# of num_samples ≤ INTERLEAVE (so any chunk size benefits).
-INTERLEAVE = 5
+# sweeps on Cornell 800×800: round-2 (TR=tile rows) TR16/IL1 476, TR16/IL2
+# 501, TR16/IL5 528, TR8/IL1 474, TR32/IL1 444; round-3 at chunk 40 with
+# static tables: IL4 532.9, IL5 530.7, IL8 546.2, IL10 537.8 M rays/s
+# (IL20 failed to compile inside 25 min — past the scheduler's sweet
+# spot anyway). Accumulation order is unchanged (ascending iteration), so
+# renders are bit-identical across interleave factors. The effective
+# factor per call is the largest divisor of num_samples ≤ INTERLEAVE (so
+# any chunk size benefits, but chunks divisible by 8 get the measured
+# peak — bench.py uses 40).
+INTERLEAVE = 8
 # Pass the gmat/material tables as jit-static immediates (collapses the
 # per-material select chains at compile time). Fresh-process TPU A/B
 # (Cornell 800×800, 300 iters, 2026-08-17): 512.3 M rays/s vs 483.9 M with
@@ -189,8 +197,19 @@ EARLY_EXIT = False
 # bounce-0 intersection + material select are the same for every sample in
 # the batch: compute them once per tile and reuse (exact — same arithmetic,
 # same values, bit-identical renders; proven in interpret mode). No effect
-# when antialias is on. Default pending a fresh-process TPU A/B.
-HOIST_PRIMARY = False
+# when antialias is on. Fresh-process TPU A/B (Cornell 800×800, 300
+# iters, chunk 40, 2026-08-17): hoist 552.5 vs 530.7 M rays/s control at
+# IL5 (+4.1%); combined with IL8 556.0 M — the best measured config, so
+# both are defaults.
+HOIST_PRIMARY = True
+# Settled question (flag deleted after the A/B): replacing
+# pltpu.prng_random_bits with the counter-hash PRNG (_HashPrng) on TPU
+# measured 363.6 M rays/s vs 531.4 M control (fresh processes, Cornell
+# 800×800, 50 iters, 2026-08-17) — the hash's ~12 VPU ops per draw cost
+# more than the HW generator, despite the `noprng` ablation reading
+# 2230 M (that ablation removes the *draws*, not just the generator, so
+# it overstated the PRNG's share). HW PRNG stays; _HashPrng remains the
+# interpret-mode fallback only.
 
 
 def _static_geom_kinds(scene: Scene):

@@ -69,10 +69,14 @@ class RenderConfig:
     # row gather, not the sort network, was the bottleneck. Default on.
     mesh_sort_fused: bool = True
     # Origin-grid resolution of the sort key (cells³ × 8 octants buckets).
-    # 4 = 512 buckets (10-bit keys, enables the packed single-array sort on
-    # the non-fused path). Finer grids give tiles tighter frusta for
-    # cluster culling at the cost of sort depth.
-    mesh_sort_cells: int = 4
+    # Finer grids give tiles tighter frusta for cluster culling at the
+    # cost of sort depth. TPU A/B on the fused path, mesh1080p (38.5k
+    # tris, 2026-08-17): cells=2 4.90, cells=4 4.78, cells=8 4.29 M
+    # rays/s — direction octant dominates the culling win, so the
+    # coarsest origin grid (64 buckets) pays the least sort depth.
+    # Default 2. (cells=4's 512 buckets = 10-bit keys still enable the
+    # packed single-array sort on the non-fused path.)
+    mesh_sort_cells: int = 2
     # Extension: next-event estimation (direct light sampling) — the working
     # version of the reference's dead dev_lightPositions machinery
     # (`pathtrace.cu:454-456,491-504`; see ops/lights.py). Changes the

@@ -113,6 +113,7 @@ def run_flag_experiment(name: str, args) -> dict:
         "interleave": megakernel.INTERLEAVE,
         "ablation": megakernel.ABLATION,
         "tile_rows": megakernel.TILE_ROWS,
+        "hoist_primary": megakernel.HOIST_PRIMARY,
         "chunk": args.chunk,
     }
 
