@@ -8,8 +8,9 @@ configuration, README.md:30; "rays/s" = pixels × iterations / wall seconds,
 `src/pathtrace.cu:173`). vs_baseline is value / 236e6.
 
 Env knobs: PT_BENCH_ITERS (default 1000), PT_BENCH_CHUNK (samples per device
-call, default 40 — divisible by the megakernel's INTERLEAVE=8 so the full
-measured interleave factor engages), PT_BENCH_SCENE (scene path),
+call, default 200 — divisible by the megakernel's INTERLEAVE=8 so the full
+measured interleave factor engages, and 1000 iters = 5 exact dispatches;
+measured 589.3 M vs 584.8 at chunk 40), PT_BENCH_SCENE (scene path),
 PT_BENCH_PROBE_TIMEOUT (seconds per backend probe, default 120),
 PT_BENCH_PROBE_ATTEMPTS (default 4).
 """
@@ -98,7 +99,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     iters = int(os.environ.get("PT_BENCH_ITERS", "1000"))
-    chunk = int(os.environ.get("PT_BENCH_CHUNK", "40"))
+    chunk = int(os.environ.get("PT_BENCH_CHUNK", "200"))
     scene_path = os.environ.get(
         "PT_BENCH_SCENE", os.path.join(REPO, "scenes", "cornell.txt")
     )

@@ -167,7 +167,7 @@ ABLATION = ""  # '' | 'noprng' | 'nointersect' | 'noscatter'
 # renders are bit-identical across interleave factors. The effective
 # factor per call is the largest divisor of num_samples ≤ INTERLEAVE (so
 # any chunk size benefits, but chunks divisible by 8 get the measured
-# peak — bench.py uses 40).
+# peak — bench.py uses 200).
 INTERLEAVE = 8
 # Pass the gmat/material tables as jit-static immediates (collapses the
 # per-material select chains at compile time). Fresh-process TPU A/B
