@@ -123,6 +123,8 @@ def test_mesh_sort_cells_image_invariant(tri_scene, cluster):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow  # ~4 min on CPU; invariance + fused-sort bit-identity
+# above cover the mesh path in the fast lap
 def test_mesh_pipeline_matches_reference(tri_scene, cluster):
     cfg = RenderConfig(trace_depth=4, sky_strength=0.5)
     key = jax.random.PRNGKey(0)

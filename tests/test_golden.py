@@ -44,6 +44,8 @@ def test_region_matches_golden(golden_render, region):
     np.testing.assert_allclose(got, want, rtol=0.15, atol=0.02)
 
 
+@pytest.mark.slow  # ~2.5 min on CPU; the per-region golden pins stay in
+# the fast lap and catch the same estimator drift
 def test_full_image_psnr_vs_golden():
     """Full-image PSNR gate against the upstream golden (not just region
     means): render 160² (800/160 = 5, so the golden downsamples by exact 5×5
