@@ -41,6 +41,7 @@ LANES = 128
 TILE = TILE_ROWS * LANES
 
 _PI = 3.14159265358979323846
+_INV_PI = 0.3183098861837907
 _FMAX = 3.402823466e38
 _MISS = 1e30
 _BACKOFF = 1e-4
@@ -212,6 +213,66 @@ HOIST_PRIMARY = True
 # interpret-mode fallback only.
 
 
+def _static_light_table(scene: Scene):
+    """Static emissive-light table for in-kernel NEE, as nested python
+    scalars: ``(L, rows)`` with one row per analytic emitter —
+    ``(kind, mat_id, A 3×3, translation, A⁻ᵀ 3×3, |det A|, Le rgb)``.
+
+    The TPU-native form of the sampler tables in ops/lights.py
+    (make_light_sampler — itself the working version of the reference's
+    dead ``dev_lightPositions`` upload, `pathtrace.cu:491-504`): with the
+    handful of light rows as jit-static immediates, the per-light sampling
+    and pdf math constant-folds per light and the where-chain over L
+    collapses entirely for the common single-light scene. Raises on
+    emissive triangles (the mesh pipeline BRDF-samples its emitters) and
+    on two lights sharing a material id — the in-kernel MIS weight
+    identifies the hit light by material, which must be unambiguous.
+    Returns None when the scene has no analytic emitters."""
+    emit = np.asarray(jax.device_get(scene.materials.emittance))
+    colors = np.asarray(jax.device_get(scene.materials.color))
+    rows = []
+    for kind_id, batch in ((0, scene.cubes), (1, scene.spheres)):
+        if not batch.count:
+            continue
+        mids = np.asarray(jax.device_get(batch.material_id))
+        tfs = np.asarray(jax.device_get(batch.transform))
+        its = np.asarray(jax.device_get(batch.inv_transpose))
+        for i in np.nonzero(emit[mids] > 0.0)[0]:
+            a = tfs[i][:3, :3]
+            rows.append(
+                (
+                    kind_id,
+                    int(mids[i]),
+                    tuple(tuple(float(x) for x in r) for r in a),
+                    tuple(float(x) for x in tfs[i][:3, 3]),
+                    tuple(
+                        tuple(float(x) for x in r) for r in its[i][:3, :3]
+                    ),
+                    float(abs(np.linalg.det(a))),
+                    tuple(
+                        float(x) for x in colors[mids[i]] * emit[mids[i]]
+                    ),
+                )
+            )
+    if scene.triangles.count:
+        tri_mids = np.asarray(jax.device_get(scene.triangles.material_id))
+        if np.any(emit[tri_mids] > 0.0):
+            raise ValueError(
+                "nee: emissive triangles are not sampleable — use analytic "
+                "(cube/sphere) lights or disable nee"
+            )
+    if not rows:
+        return None
+    mat_ids = [r[1] for r in rows]
+    if len(set(mat_ids)) != len(mat_ids):
+        raise ValueError(
+            "nee (megakernel): two lights share a material id — the MIS "
+            "weight identifies the hit light by material; give each "
+            "emitter its own material or use pipeline='reference'"
+        )
+    return (len(rows), tuple(rows))
+
+
 def _static_geom_kinds(scene: Scene):
     """Static per-geom specialization tags, read from concrete scene arrays.
 
@@ -307,10 +368,13 @@ def _make_kernel(
     mat_static: tuple = (),
     early_exit: bool = False,
     hoist_primary: bool = False,
+    nee: tuple = None,
 ):
     # legacy mode's sky multiply keeps updating terminated lanes (quirk
     # parity), so an all-dead bounce is NOT a no-op there — never skip
     early_exit = early_exit and not legacy
+    if nee is not None and legacy:
+        raise ValueError("nee requires gather_mode='light_only'")
     k_total = num_cubes + num_spheres
     if not geom_kinds:
         geom_kinds = tuple(
@@ -627,15 +691,24 @@ def _make_kernel(
             rad_r = jnp.zeros(shape, jnp.float32)
             rad_g = jnp.zeros(shape, jnp.float32)
             rad_b = jnp.zeros(shape, jnp.float32)
-            return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
-                    rad_r, rad_g, rad_b)
+            st = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
+                  rad_r, rad_g, rad_b)
+            if nee is not None:
+                # solid-angle pdf of the lobe that produced this ray, for
+                # the next emissive hit's MIS weight; −1 = delta lobe /
+                # primary ray (weight 1). Appended LAST so st[9] stays the
+                # bounces-remaining slot early_exit keys on.
+                st = st + (jnp.full(shape, -1.0, jnp.float32),)
+            return st
 
         def make_bounce(iteration):
             def bounce_body(depth, st, pre=None):
                 (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
-                 rad_r, rad_g, rad_b) = st
+                 rad_r, rad_g, rad_b) = st[:13]
+                prev_pdf = st[13] if nee is not None else None
                 if ablation == "noprng":
                     u_rr = u_branch = u_a = u_b = px * 0.001
+                    u_l0 = u_l1 = u_l2 = px * 0.002
                 else:
                     seed_prng(_mix(seed, iteration, depth, tile))
                     # pre-RR bounces never consume u_rr: skip the draw (the
@@ -645,6 +718,12 @@ def _make_kernel(
                     u_branch = draw_u01()
                     u_a = draw_u01()
                     u_b = draw_u01()
+                    if nee is not None:
+                        # light pick + 2 surface coords, drawn after the
+                        # BSDF uniforms so the nee-off stream is untouched
+                        u_l0 = draw_u01()
+                        u_l1 = draw_u01()
+                        u_l2 = draw_u01()
 
                 # ── nearest hit (precomputed for the hoisted bounce 0) ──
                 hit = pre[0] if pre is not None else intersect_all(
@@ -688,10 +767,62 @@ def _make_kernel(
                 # ── emissive termination ──
                 emissive = m_emit > 0.0
                 hit_light = act & emissive
+                w_emit = None
+                if nee is not None:
+                    # MIS balance heuristic (ops/shade.py emissive branch):
+                    # a BRDF-sampled emissive hit reached via the previous
+                    # vertex's diffuse lobe competes with NEE having
+                    # sampled the same point. The hit light is identified
+                    # by material id (validated unique per light); its
+                    # area pdf at the hit follows from the static light
+                    # transform and the world normal:
+                    #   n̂_obj ∝ Aᵀ·n̂_w,  s = |det A|·|A⁻ᵀ·n̂_obj|,
+                    #   pdf_A = pdf_obj / (L·s)   (lights.area_pdf_at)
+                    n_lights, light_rows = nee
+                    p_nee_area = jnp.zeros(shape, jnp.float32)
+                    sampled = jnp.zeros(shape, jnp.bool_)
+                    for (lk, lmat, la, _ltr, lait, ldet, _le) in light_rows:
+                        o0 = (la[0][0] * best_nx + la[1][0] * best_ny
+                              + la[2][0] * best_nz)
+                        o1 = (la[0][1] * best_nx + la[1][1] * best_ny
+                              + la[2][1] * best_nz)
+                        o2 = (la[0][2] * best_nx + la[1][2] * best_ny
+                              + la[2][2] * best_nz)
+                        rn = jax.lax.rsqrt(
+                            jnp.maximum(o0 * o0 + o1 * o1 + o2 * o2, 1e-20)
+                        )
+                        o0, o1, o2 = o0 * rn, o1 * rn, o2 * rn
+                        t0 = lait[0][0] * o0 + lait[0][1] * o1 + lait[0][2] * o2
+                        t1 = lait[1][0] * o0 + lait[1][1] * o1 + lait[1][2] * o2
+                        t2 = lait[2][0] * o0 + lait[2][1] * o1 + lait[2][2] * o2
+                        s = ldet * jnp.sqrt(
+                            jnp.maximum(t0 * t0 + t1 * t1 + t2 * t2, 1e-40)
+                        )
+                        pdf_obj = _INV_PI if lk == 1 else (1.0 / 6.0)
+                        p_l = jnp.float32(pdf_obj / n_lights) * _recip(
+                            jnp.maximum(s, 1e-20)
+                        )
+                        sel = best_mat == lmat
+                        p_nee_area = jnp.where(sel, p_l, p_nee_area)
+                        sampled = sampled | sel
+                    cos_l = jnp.maximum(
+                        -(dx * best_nx + dy * best_ny + dz * best_nz), 1e-6
+                    )
+                    p_nee_dir = p_nee_area * best_t * best_t * _recip(cos_l)
+                    w_emit = jnp.where(
+                        (prev_pdf < 0.0) | ~sampled,
+                        1.0,
+                        prev_pdf
+                        * _recip(jnp.maximum(prev_pdf + p_nee_dir, 1e-20)),
+                    )
                 if legacy:
                     cr = jnp.where(hit_light, cr * m_cr * m_emit, cr)
                     cg = jnp.where(hit_light, cg * m_cg * m_emit, cg)
                     cb = jnp.where(hit_light, cb * m_cb * m_emit, cb)
+                elif w_emit is not None:
+                    rad_r = jnp.where(hit_light, rad_r + cr * m_cr * m_emit * w_emit, rad_r)
+                    rad_g = jnp.where(hit_light, rad_g + cg * m_cg * m_emit * w_emit, rad_g)
+                    rad_b = jnp.where(hit_light, rad_b + cb * m_cb * m_emit * w_emit, rad_b)
                 else:
                     rad_r = jnp.where(hit_light, rad_r + cr * m_cr * m_emit, rad_r)
                     rad_g = jnp.where(hit_light, rad_g + cg * m_cg * m_emit, rad_g)
@@ -716,8 +847,9 @@ def _make_kernel(
                 if ablation == "noscatter":
                     bounces = jnp.where(act, bounces - 1, jnp.zeros_like(bounces))
                     ox = ox + u_a * 0.001  # keep u's live
-                    return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
-                            rad_r, rad_g, rad_b)
+                    out = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
+                           rad_r, rad_g, rad_b)
+                    return out if nee is None else out + (prev_pdf,)
                 nx, ny, nz = best_nx, best_ny, best_nz
                 rough = 1.0 - m_refr
                 spec = act & (m_refl > 0.0) & (u_branch < m_refl)
@@ -823,6 +955,130 @@ def _make_kernel(
                 hy = oy + best_t * dy + ny * off
                 hz = oz + best_t * dz + nz * off
 
+                if nee is not None:
+                    # ── direct light at this vertex (ops/shade.py NEE
+                    # block, restated as static-table component math) ──
+                    # Estimates the diffuse component of the mixture BRDF,
+                    # (1−P_spec)·albedo/π, for every diffuse-capable lane;
+                    # cr/cg/cb here are the post-RR, pre-tint throughput.
+                    # The balance-heuristic partner term is the w_emit
+                    # weight at the emissive branch above.
+                    n_lights, light_rows = nee
+
+                    def sample_light(row):
+                        lk, _lm, la, ltr, lait, ldet, le = row
+                        if lk == 1:  # sphere: uniform direction, r = 0.5
+                            z = 1.0 - 2.0 * u_l1
+                            rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+                            ph = 2.0 * jnp.float32(_PI) * u_l2
+                            sn0 = rxy * jnp.cos(ph)
+                            sn1 = z
+                            sn2 = rxy * jnp.sin(ph)
+                            sp0, sp1, sp2 = 0.5 * sn0, 0.5 * sn1, 0.5 * sn2
+                            pdf_obj = _INV_PI
+                        else:  # cube: uniform over the 6 unit faces
+                            f6 = u_l1 * 6.0
+                            face = jnp.minimum(f6.astype(jnp.int32), 5)
+                            u_f = f6 - face.astype(jnp.float32)
+                            axis = face // 2
+                            sgn = jnp.where(face % 2 == 0, 1.0, -1.0)
+                            cu = u_f - 0.5
+                            cv = u_l2 - 0.5
+                            sp0 = jnp.where(axis == 0, sgn * 0.5, cu)
+                            sp1 = jnp.where(
+                                axis == 1, sgn * 0.5,
+                                jnp.where(axis == 0, cu, cv),
+                            )
+                            sp2 = jnp.where(axis == 2, sgn * 0.5, cv)
+                            sn0 = jnp.where(axis == 0, sgn, 0.0)
+                            sn1 = jnp.where(axis == 1, sgn, 0.0)
+                            sn2 = jnp.where(axis == 2, sgn, 0.0)
+                            pdf_obj = 1.0 / 6.0
+                        wx = la[0][0] * sp0 + la[0][1] * sp1 + la[0][2] * sp2 + ltr[0]
+                        wy = la[1][0] * sp0 + la[1][1] * sp1 + la[1][2] * sp2 + ltr[1]
+                        wz = la[2][0] * sp0 + la[2][1] * sp1 + la[2][2] * sp2 + ltr[2]
+                        un0 = lait[0][0] * sn0 + lait[0][1] * sn1 + lait[0][2] * sn2
+                        un1 = lait[1][0] * sn0 + lait[1][1] * sn1 + lait[1][2] * sn2
+                        un2 = lait[2][0] * sn0 + lait[2][1] * sn1 + lait[2][2] * sn2
+                        nn = jnp.sqrt(
+                            jnp.maximum(un0 * un0 + un1 * un1 + un2 * un2, 1e-40)
+                        )
+                        rnn = _recip(nn)
+                        # pdf in world-area measure incl. the 1/L pick factor
+                        pdf_a = jnp.float32(pdf_obj / n_lights) * _recip(
+                            jnp.maximum(ldet * nn, 1e-20)
+                        )
+                        return (wx, wy, wz, un0 * rnn, un1 * rnn, un2 * rnn,
+                                pdf_a, le[0], le[1], le[2])
+
+                    if n_lights == 1:
+                        (lpx, lpy, lpz, lnx, lny, lnz,
+                         pdf_a, le_r, le_g, le_b) = sample_light(light_rows[0])
+                    else:
+                        pick = jnp.minimum(
+                            (u_l0 * n_lights).astype(jnp.int32),
+                            jnp.int32(n_lights - 1),
+                        )
+                        vals = None
+                        for li, row in enumerate(light_rows):
+                            cand = sample_light(row)
+                            if vals is None:
+                                vals = cand
+                            else:
+                                sel = pick == li
+                                vals = tuple(
+                                    jnp.where(sel, c, v)
+                                    for c, v in zip(cand, vals)
+                                )
+                        (lpx, lpy, lpz, lnx, lny, lnz,
+                         pdf_a, le_r, le_g, le_b) = vals
+
+                    tox, toy, toz = lpx - hx, lpy - hy, lpz - hz
+                    d2 = tox * tox + toy * toy + toz * toz
+                    dist = jnp.sqrt(jnp.maximum(d2, 1e-24))
+                    rdist = _recip(dist)
+                    wix, wiy, wiz = tox * rdist, toy * rdist, toz * rdist
+                    cos_s = nx * wix + ny * wiy + nz * wiz
+                    cos_l2 = -(lnx * wix + lny * wiy + lnz * wiz)
+                    # one extra nearest-hit pass = the shadow ray; the
+                    # sampled point itself intersects at ~dist, anything
+                    # nearer occludes (ops/shade.py visibility rule)
+                    sh = intersect_all(hx, hy, hz, wix, wiy, wiz)
+                    visible = sh[0] >= dist - jnp.maximum(1e-3, 1e-3 * dist)
+                    base = act & ~glass if enable_refraction else act
+                    add = (base & (cos_s > 0.0) & (cos_l2 > 0.0)
+                           & (dist > 1e-4) & visible)
+                    diffuse_prob = 1.0 - m_refl
+                    p_brdf_area = (
+                        diffuse_prob * jnp.maximum(cos_s, 0.0)
+                        * jnp.float32(_INV_PI) * jnp.maximum(cos_l2, 0.0)
+                        * _recip(jnp.maximum(d2, 1e-12))
+                    )
+                    w_mis = pdf_a * _recip(
+                        jnp.maximum(pdf_a + p_brdf_area, 1e-20)
+                    )
+                    geomf = cos_s * cos_l2 * _recip(
+                        jnp.maximum(d2 * pdf_a, 1e-20)
+                    )
+                    k_d = (diffuse_prob * jnp.float32(_INV_PI)
+                           * geomf * w_mis)
+                    rad_r = jnp.where(add, rad_r + cr * m_cr * k_d * le_r, rad_r)
+                    rad_g = jnp.where(add, rad_g + cg * m_cg * k_d * le_g, rad_g)
+                    rad_b = jnp.where(add, rad_b + cb * m_cb * k_d * le_b, rad_b)
+
+                    # density with which THIS vertex's lobe generated the
+                    # extension ray (next emissive hit's MIS weight):
+                    # diffuse lanes carry (1−P)·cosθ/π, delta lobes −1
+                    cos_new = jnp.maximum(ndx * nx + ndy * ny + ndz * nz, 0.0)
+                    diffuse_ext = act & ~spec
+                    if enable_refraction:
+                        diffuse_ext = diffuse_ext & ~glass
+                    prev_pdf = jnp.where(
+                        diffuse_ext,
+                        diffuse_prob * cos_new * jnp.float32(_INV_PI),
+                        jnp.float32(-1.0),
+                    )
+
                 cr = jnp.where(act, cr * t_r, cr)
                 cg = jnp.where(act, cg * t_g, cg)
                 cb = jnp.where(act, cb * t_b, cb)
@@ -834,14 +1090,15 @@ def _make_kernel(
                 dz = jnp.where(act, ndz, dz)
                 bounces = jnp.where(act, bounces - 1, jnp.zeros_like(bounces))
 
-                return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
-                        rad_r, rad_g, rad_b)
+                out = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
+                       rad_r, rad_g, rad_b)
+                return out if nee is None else out + (prev_pdf,)
 
             return bounce_body
 
         def accumulate(acc, st):
             acc_r, acc_g, acc_b = acc
-            (_, _, _, _, _, _, cr, cg, cb, _, rad_r, rad_g, rad_b) = st
+            (_, _, _, _, _, _, cr, cg, cb, _, rad_r, rad_g, rad_b) = st[:13]
             if legacy:
                 return (acc_r + cr, acc_g + cg, acc_b + cb)
             return (acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
@@ -921,6 +1178,7 @@ def render_samples(
     geom_kinds=None,
     scene_static=None,
     tile_base=None,
+    nee_static=None,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch (public wrapper;
     forwards the module-level ABLATION/INTERLEAVE knobs as jit-static args so
@@ -928,7 +1186,9 @@ def render_samples(
     per-geom axis-aligned specialization and `scene_static` the immediate
     geometry/material tables (_static_scene_tables); when None they are
     derived from the scene's concrete arrays (callers inside a trace —
-    shard_map — must precompute them, see parallel.shard)."""
+    shard_map — must precompute them, see parallel.shard). `nee_static`
+    (static, `_static_light_table`) enables in-kernel direct light
+    sampling with MIS when `config.nee`; derived here when None."""
     if num_pixels is None and not (
         isinstance(pixel_offset, int) and pixel_offset == 0
     ):
@@ -942,6 +1202,14 @@ def render_samples(
         geom_kinds = _static_geom_kinds(scene)
     if scene_static is None:
         scene_static = _static_scene_tables(scene)
+    if nee_static is None and getattr(config, "nee", False):
+        if config.gather_mode != "light_only":
+            raise ValueError("nee requires gather_mode='light_only'")
+        nee_static = _static_light_table(scene)
+        if nee_static is None:
+            raise ValueError(
+                "nee: scene has no analytic (cube/sphere) emissive lights"
+            )
     # Interpret mode is a CPU correctness tool: interleaving there only
     # multiplies the interpreted graph (and under shard_map the slower shards
     # can miss XLA:CPU's 40 s collective-rendezvous deadline — observed as a
@@ -959,7 +1227,7 @@ def render_samples(
         pixel_offset, num_pixels, ABLATION, interleave, geom_kinds,
         scene_static, tile_base,
         EARLY_EXIT or getattr(config, "early_exit", False),
-        HOIST_PRIMARY,
+        HOIST_PRIMARY, nee_static,
     )
 
 
@@ -968,7 +1236,7 @@ def render_samples(
     static_argnames=(
         "config", "num_samples", "interpret", "num_pixels",
         "ablation", "interleave", "geom_kinds", "scene_static",
-        "early_exit", "hoist_primary",
+        "early_exit", "hoist_primary", "nee_static",
     ),
 )
 def _render_samples_impl(
@@ -987,6 +1255,7 @@ def _render_samples_impl(
     tile_base=None,
     early_exit: bool = False,
     hoist_primary: bool = False,
+    nee_static=None,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch.
 
@@ -1065,6 +1334,7 @@ def _render_samples_impl(
         mat_static=scene_static[2],
         early_exit=early_exit,
         hoist_primary=hoist_primary,
+        nee=nee_static,
     )
 
     grid = n_pad // TILE

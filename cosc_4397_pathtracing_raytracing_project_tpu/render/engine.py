@@ -101,9 +101,20 @@ class RenderConfig:
     def resolve_pipeline(self, scene: Scene) -> str:
         if self.pipeline != "auto":
             return self.pipeline
-        if self.nee:
-            return "reference"  # direct light sampling lives on this path
         from ..ops import fast as fast_mod
+
+        if self.nee:
+            # direct light sampling: in-kernel on the TPU megakernel
+            # (static light tables + shadow-ray pass), wavefront shade_step
+            # elsewhere; both need light_only gathering
+            try:
+                on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+            except Exception:
+                on_tpu = False
+            if (on_tpu and self.gather_mode == "light_only"
+                    and fast_mod.supports(scene)):
+                return "pallas"
+            return "reference"
 
         try:
             on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
@@ -153,9 +164,10 @@ def trace_sample(
     tile of the flat pixel array (used by the sharded multi-chip path)."""
     if config.nee and config.resolve_pipeline(scene) != "reference":
         raise ValueError(
-            "nee is supported on the 'reference' pipeline only "
-            f"(resolved {config.resolve_pipeline(scene)!r}); set "
-            "pipeline='reference' or 'auto'"
+            "nee at per-sample granularity is supported on the 'reference' "
+            f"pipeline only (resolved {config.resolve_pipeline(scene)!r}); "
+            "the chunk-level megakernel supports it via pipeline='pallas' "
+            "(make_pallas_step)"
         )
     # 'pallas' is chunk-level (see make_pallas_step); at per-sample
     # granularity its XLA twin is the SoA fast path.
@@ -272,20 +284,29 @@ def render_chunk(
 PALLAS_CHUNK = 50
 
 
-def make_pallas_step(interpret: bool = False, scene: Scene = None):
+def make_pallas_step(interpret: bool = False, scene: Scene = None,
+                     config: "RenderConfig" = None):
     """Step function driving the single-dispatch TPU megakernel.
 
     When `scene` is given, the jit-static geometry specialization and
     immediate scene tables are derived ONCE here — deriving them per chunk
     costs a device fetch of the packed tables every call (a network
     round-trip on a remote TPU). Geometry/materials are fixed after load
-    (set_camera replaces only the camera), so the closure stays valid."""
+    (set_camera replaces only the camera), so the closure stays valid.
+    `config` (optional) lets the nee light table be derived once too."""
     from ..ops.pallas import megakernel
 
-    geom_kinds = scene_static = None
+    geom_kinds = scene_static = nee_static = None
     if scene is not None:
         geom_kinds = megakernel._static_geom_kinds(scene)
         scene_static = megakernel._static_scene_tables(scene)
+        if config is not None and config.nee:
+            nee_static = megakernel._static_light_table(scene)
+            if nee_static is None:
+                raise ValueError(
+                    "nee: scene has no analytic (cube/sphere) emissive "
+                    "lights"
+                )
 
     def step(scene, state: RenderState, config: RenderConfig, num_samples: int):
         accum = state.accum
@@ -303,6 +324,7 @@ def make_pallas_step(interpret: bool = False, scene: Scene = None):
                 interpret=interpret,
                 geom_kinds=geom_kinds,
                 scene_static=scene_static,
+                nee_static=nee_static,
             )
             done += k
         return state.replace(
@@ -413,7 +435,7 @@ class Renderer:
             self._intersector = make_intersector(self.scene, config)
 
         if pipeline == "pallas":
-            self._step = make_pallas_step(scene=self.scene)
+            self._step = make_pallas_step(scene=self.scene, config=config)
         elif pipeline == "fast_mesh":
             self._step = make_mesh_step(self.scene)
         else:

@@ -44,6 +44,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--chunk", type=int, default=10)
+    ap.add_argument("--pipeline", default="reference",
+                    choices=["reference", "pallas"],
+                    help="'pallas' = in-kernel NEE in the TPU megakernel")
     args = ap.parse_args()
 
     from cosc_4397_pathtracing_raytracing_project_tpu import (
@@ -63,7 +66,7 @@ def main():
             RenderConfig(
                 samples_per_launch=args.chunk,
                 antialias=True,
-                pipeline="reference",
+                pipeline=args.pipeline,
                 nee=nee,
             ),
         )
@@ -78,9 +81,14 @@ def main():
             json.dumps(
                 {
                     "nee": nee,
+                    "pipeline": args.pipeline,
                     "iters": args.iters,
                     "psnr_db": round(psnr, 2),
                     "wall_s": round(wall, 2),
+                    "mrays": round(
+                        r.scene.camera.pixel_count * args.iters / wall / 1e6,
+                        1,
+                    ),
                 }
             )
         )

