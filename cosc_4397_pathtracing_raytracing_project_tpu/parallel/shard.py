@@ -116,6 +116,7 @@ def render_chunk_sharded_pallas(
     interpret: bool = False,
     geom_kinds=None,
     scene_static=None,
+    nee_static=None,
 ) -> RenderState:
     """Multi-chip megakernel step: each dp rank runs the single-dispatch
     Pallas megakernel (ops.pallas.megakernel) on its contiguous pixel slice;
@@ -134,6 +135,15 @@ def render_chunk_sharded_pallas(
         # falls back to ((), (), ()) — dynamic SMEM tables — when the scene
         # is a tracer; make_sharded_pallas_step passes the concrete tables
         scene_static = megakernel._static_scene_tables(scene)
+    if nee_static is None and getattr(config, "nee", False):
+        try:
+            nee_static = megakernel._static_light_table(scene)
+        except Exception as e:  # tracer scene: tables must come from outside
+            raise ValueError(
+                "sharded nee needs the concrete light table — call via "
+                "make_sharded_pallas_step (which derives it while the "
+                "scene is concrete)"
+            ) from e
 
     # Each shard's kernel tiles seed RNG as (global tile_base + local tile).
     # tile_base must be unique per shard: offset // TILE collides when the
@@ -163,6 +173,7 @@ def render_chunk_sharded_pallas(
             num_pixels=local_pixels,
             geom_kinds=geom_kinds,
             scene_static=scene_static,
+            nee_static=nee_static,
             tile_base=dp * jnp.int32(tiles_per_shard),
         )
         rad = jax.lax.psum(rad, SAMPLE_AXIS)
@@ -191,6 +202,11 @@ def make_sharded_pallas_step(
         # below the scene arrays are tracers
         geom_kinds=megakernel._static_geom_kinds(scene),
         scene_static=megakernel._static_scene_tables(scene),
+        nee_static=(
+            megakernel._static_light_table(scene)
+            if getattr(config, "nee", False)
+            else None
+        ),
     )
     return jax.jit(lambda scene, state: fn(scene, state))
 

@@ -212,3 +212,36 @@ def test_indivisible_configs_raise(small_scene):
         render_chunk_sharded(small_scene, state, RenderConfig(), 3, mesh)
     with pytest.raises(ValueError):
         make_mesh(8, sample_parallel=3)
+
+
+@pytest.mark.slow
+def test_sharded_megakernel_nee_matches_single_device():
+    """In-kernel NEE under shard_map: the static light table is derived in
+    make_sharded_pallas_step while the scene is concrete and threaded
+    through the trace; a TILE-aligned dp=4/sp=1 shard must reproduce the
+    single-device nee render bit-identically (same per-tile RNG streams,
+    same shadow rays)."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import megakernel
+    from cosc_4397_pathtracing_raytracing_project_tpu.parallel import (
+        make_sharded_pallas_step,
+    )
+
+    desc = parse_scene(CORNELL_SMALL)
+    desc.camera.resolution = (128, 64)  # 8192 px: dp=4 → exactly 1 TILE/shard
+    scene = Scene.from_desc(desc)
+    cfg = RenderConfig(trace_depth=4, nee=True, pipeline="pallas")
+    state = RenderState.create(scene.camera.pixel_count, seed=0)
+    seed = (state.key.reshape(-1)[-1].astype(jnp.uint32)).astype(jnp.int32)
+    num_samples = 2
+
+    single = np.asarray(
+        megakernel.render_samples(
+            scene, cfg, seed, state.iteration + 1, num_samples, interpret=True
+        )
+    )
+    assert np.isfinite(single).all() and single.max() > 0
+
+    mesh1 = make_mesh(4, sample_parallel=1, devices=jax.devices()[:4])
+    step1 = make_sharded_pallas_step(scene, cfg, num_samples, mesh1, interpret=True)
+    out1 = step1(scene, state)
+    np.testing.assert_array_equal(np.asarray(out1.accum), single)
