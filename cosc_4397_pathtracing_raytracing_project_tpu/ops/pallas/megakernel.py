@@ -626,6 +626,81 @@ def _make_kernel(
                 return (best_t, best_nx, best_ny, best_nz, best_mat, best_out)
             return (best_t, best_nx, best_ny, best_nz, best_mat)
 
+        def occluded_any(ox, oy, oz, dx, dy, dz, limit):
+            """Shadow-ray occlusion: any hit with backoff-adjusted t in
+            (0, limit)? Exactly equivalent to intersect_all's
+            `best_t < limit` (same per-geom sparam/backoff arithmetic,
+            same positivity gate) but skips everything the nearest-hit
+            pass computes beyond t: face/normal selection, material ids,
+            the best_* where-chains, and the final normalize — the NEE
+            shadow pass only consumes the boolean."""
+            occ = ox < ox  # all-False of the right shape/dtype
+            for k in range(0 if ablation == "nointersect" else k_total):
+                iv, _it = geo_rows[k]
+                _kind, perm = geom_kinds[k]
+                if perm is None:
+                    qox = iv[0] * ox + iv[1] * oy + iv[2] * oz + iv[3]
+                    qoy = iv[4] * ox + iv[5] * oy + iv[6] * oz + iv[7]
+                    qoz = iv[8] * ox + iv[9] * oy + iv[10] * oz + iv[11]
+                    qdx = iv[0] * dx + iv[1] * dy + iv[2] * dz
+                    qdy = iv[4] * dx + iv[5] * dy + iv[6] * dz
+                    qdz = iv[8] * dx + iv[9] * dy + iv[10] * dz
+                else:
+                    pw = (ox, oy, oz)
+                    dw = (dx, dy, dz)
+                    c0, c1, c2 = perm
+                    qox = iv[c0] * pw[c0] + iv[3]
+                    qoy = iv[4 + c1] * pw[c1] + iv[7]
+                    qoz = iv[8 + c2] * pw[c2] + iv[11]
+                    qdx = iv[c0] * dw[c0]
+                    qdy = iv[4 + c1] * dw[c1]
+                    qdz = iv[8 + c2] * dw[c2]
+
+                if k < num_cubes:
+                    ix = _recip(qdx)
+                    iy = _recip(qdy)
+                    iz = _recip(qdz)
+                    t1x = (-0.5 - qox) * ix
+                    t2x = (0.5 - qox) * ix
+                    t1y = (-0.5 - qoy) * iy
+                    t2y = (0.5 - qoy) * iy
+                    t1z = (-0.5 - qoz) * iz
+                    t2z = (0.5 - qoz) * iz
+                    ax = jnp.minimum(t1x, t2x)
+                    ay = jnp.minimum(t1y, t2y)
+                    az = jnp.minimum(t1z, t2z)
+                    bx = jnp.maximum(t1x, t2x)
+                    by = jnp.maximum(t1y, t2y)
+                    bz = jnp.maximum(t1z, t2z)
+                    ax = jnp.where(ax > 0, ax, -_FMAX)
+                    ay = jnp.where(ay > 0, ay, -_FMAX)
+                    az = jnp.where(az > 0, az, -_FMAX)
+                    bx = jnp.where(bx < _FMAX, bx, _FMAX)
+                    by = jnp.where(by < _FMAX, by, _FMAX)
+                    bz = jnp.where(bz < _FMAX, bz, _FMAX)
+                    s_min = jnp.maximum(ax, jnp.maximum(ay, az))
+                    s_max = jnp.minimum(bx, jnp.minimum(by, bz))
+                    hit = (s_max >= s_min) & (s_max > 0)
+                    sparam = jnp.where(s_min > 0, s_min, s_max)
+                else:
+                    nq2 = qdx * qdx + qdy * qdy + qdz * qdz
+                    b = qox * qdx + qoy * qdy + qoz * qdz
+                    c = qox * qox + qoy * qoy + qoz * qoz - 0.25
+                    disc = b * b - nq2 * c
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    inv_a = _recip(nq2)
+                    s1 = (-b + sq) * inv_a
+                    s2 = (-b - sq) * inv_a
+                    both_neg = (s1 < 0) & (s2 < 0)
+                    both_pos = (s1 > 0) & (s2 > 0)
+                    sparam = jnp.where(
+                        both_pos, jnp.minimum(s1, s2), jnp.maximum(s1, s2)
+                    )
+                    hit = (disc >= 0) & ~both_neg
+                t_world = sparam - _BACKOFF
+                occ = occ | (hit & (t_world > 0) & (t_world < limit))
+            return occ
+
         def fetch_material(best_mat):
             """Material property select chains (shared-mem cache analog)."""
             m_cr = jnp.zeros(shape, jnp.float32)
@@ -1040,11 +1115,19 @@ def _make_kernel(
                     wix, wiy, wiz = tox * rdist, toy * rdist, toz * rdist
                     cos_s = nx * wix + ny * wiy + nz * wiz
                     cos_l2 = -(lnx * wix + lny * wiy + lnz * wiz)
-                    # one extra nearest-hit pass = the shadow ray; the
-                    # sampled point itself intersects at ~dist, anything
-                    # nearer occludes (ops/shade.py visibility rule)
-                    sh = intersect_all(hx, hy, hz, wix, wiy, wiz)
-                    visible = sh[0] >= dist - jnp.maximum(1e-3, 1e-3 * dist)
+                    # shadow ray = any-hit occlusion only; the sampled
+                    # point itself intersects at ~dist, anything nearer
+                    # occludes (ops/shade.py visibility rule). occluded_any
+                    # is boolean-identical to intersect_all's
+                    # `best_t < limit` at ~60% of the op count; measured
+                    # NEUTRAL on Cornell's 8 geoms (315.7 vs 314.4 M
+                    # rays/s — the skipped selects hide in the VPU
+                    # pipeline) but renders stay bit-identical and the
+                    # saving scales with geom count.
+                    visible = ~occluded_any(
+                        hx, hy, hz, wix, wiy, wiz,
+                        dist - jnp.maximum(1e-3, 1e-3 * dist),
+                    )
                     base = act & ~glass if enable_refraction else act
                     add = (base & (cos_s > 0.0) & (cos_l2 > 0.0)
                            & (dist > 1e-4) & visible)
