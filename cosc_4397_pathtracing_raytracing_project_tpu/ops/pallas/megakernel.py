@@ -795,8 +795,10 @@ def _make_kernel(
                     u_b = draw_u01()
                     if nee is not None:
                         # light pick + 2 surface coords, drawn after the
-                        # BSDF uniforms so the nee-off stream is untouched
-                        u_l0 = draw_u01()
+                        # BSDF uniforms so the nee-off stream is untouched;
+                        # single-light scenes (the common case) skip the
+                        # pick draw entirely
+                        u_l0 = draw_u01() if nee[0] > 1 else None
                         u_l1 = draw_u01()
                         u_l2 = draw_u01()
 

@@ -437,6 +437,13 @@ class Renderer:
         if pipeline == "pallas":
             self._step = make_pallas_step(scene=self.scene, config=config)
         elif pipeline == "fast_mesh":
+            if config.nee:
+                # silently dropping the estimator change would be worse
+                # than refusing (the mesh wavefront BRDF-samples emitters)
+                raise ValueError(
+                    "nee is not supported on the mesh pipeline — use "
+                    "pipeline='reference' (slow) or drop nee"
+                )
             self._step = make_mesh_step(self.scene)
         else:
             # A distinct closure per Renderer: sharing a HashablePartial
