@@ -307,3 +307,28 @@ def test_megakernel_nee_same_mean(scene):
     assert abs(r1.mean() - r0.mean()) / max(r0.mean(), 1e-9) < 0.15
     corr = np.corrcoef(r0.mean(-1), r1.mean(-1))[0, 1]
     assert corr > 0.8
+
+
+def test_megakernel_nee_static_light_table(scene):
+    """The static light table mirrors make_light_sampler's scan and
+    enforces the in-kernel MIS identification invariant: every light has
+    its own material id."""
+    table = megakernel._static_light_table(scene)
+    assert table is not None
+    n, rows = table
+    assert n == 1 and len(rows) == 1
+    kind, mat_id, a, tr, ait, absdet, le = rows[0]
+    assert kind == 0 and mat_id == 0  # the ceiling-light cube, material 0
+    assert absdet > 0
+    assert le == (1.5, 1.5, 1.5)  # RGB 1 × EMITTANCE 1.5
+
+    # a second emitter sharing material 0 is ambiguous for the MIS weight
+    from test_render import CORNELL_SMALL
+
+    dup = CORNELL_SMALL + (
+        "\nOBJECT 7\nsphere\nmaterial 0\nTRANS 2 2 0\nROTAT 0 0 0\n"
+        "SCALE 1 1 1\n"
+    )
+    dup_scene = Scene.from_desc(parse_scene(dup))
+    with pytest.raises(ValueError, match="material"):
+        megakernel._static_light_table(dup_scene)
