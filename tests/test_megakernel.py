@@ -332,3 +332,43 @@ def test_megakernel_nee_static_light_table(scene):
     dup_scene = Scene.from_desc(parse_scene(dup))
     with pytest.raises(ValueError, match="material"):
         megakernel._static_light_table(dup_scene)
+
+
+@pytest.mark.slow
+def test_megakernel_nee_two_lights_sphere_same_mean():
+    """Covers the two in-kernel NEE paths the single-cube-light tests
+    miss: sphere-light surface sampling (kind==1) and the multi-light
+    pick draw + static where-chain select. A second emissive *sphere*
+    (its own material — the MIS identification invariant) joins the
+    ceiling cube; the mean must still match plain BRDF sampling."""
+    from test_render import CORNELL_SMALL
+
+    two = CORNELL_SMALL.replace(
+        "MATERIAL 4\nRGB .98 .98 .98",
+        "MATERIAL 4\nRGB 1 .9 .7",
+    ).replace(
+        "SPECRGB .98 .98 .98\nREFL 1\nREFR 0\nREFRIOR 0\nEMITTANCE 0",
+        "SPECRGB 0 0 0\nREFL 0\nREFR 0\nREFRIOR 0\nEMITTANCE 2",
+    )
+    scene2 = Scene.from_desc(parse_scene(two))
+    # sanity: the edit really produced 2 lights, one of them the sphere
+    table = megakernel._static_light_table(scene2)
+    assert table[0] == 2 and {row[0] for row in table[1]} == {0, 1}
+
+    n = 8
+    cfg0 = RenderConfig(trace_depth=4)
+    cfg1 = RenderConfig(trace_depth=4, nee=True, pipeline="pallas")
+    r0 = np.asarray(
+        megakernel.render_samples(
+            scene2, cfg0, jnp.int32(0), jnp.int32(1), n, interpret=True
+        )
+    ) / n
+    r1 = np.asarray(
+        megakernel.render_samples(
+            scene2, cfg1, jnp.int32(0), jnp.int32(1), n, interpret=True
+        )
+    ) / n
+    assert np.isfinite(r1).all() and r1.min() >= 0
+    assert abs(r1.mean() - r0.mean()) / max(r0.mean(), 1e-9) < 0.15
+    corr = np.corrcoef(r0.mean(-1), r1.mean(-1))[0, 1]
+    assert corr > 0.8
