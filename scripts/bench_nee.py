@@ -43,11 +43,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
-    ap.add_argument("--chunk", type=int, default=10)
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="samples per launch (default: 10 for the "
+                         "wavefront, 40 for pallas — divisible by the "
+                         "megakernel's interleave factor 8)")
     ap.add_argument("--pipeline", default="reference",
                     choices=["reference", "pallas"],
                     help="'pallas' = in-kernel NEE in the TPU megakernel")
     args = ap.parse_args()
+    if args.chunk is None:
+        args.chunk = 40 if args.pipeline == "pallas" else 10
 
     from cosc_4397_pathtracing_raytracing_project_tpu import (
         RenderConfig,
