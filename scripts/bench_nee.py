@@ -76,11 +76,16 @@ def main():
             ),
         )
         r.step(args.chunk)  # compile outside the timed region
-        r.reset()
-        t0 = time.perf_counter()
-        r.render(args.iters)
-        mine = np.clip(r.linear_image(), 0, 1)[:, ::-1, :]
-        wall = time.perf_counter() - t0
+        # best-of-3 laps: the pooled chip's tenant load drifts on a
+        # tens-of-seconds scale (single laps have measured 2x swings,
+        # including a nonsensical "nee faster than plain")
+        wall = float("inf")
+        for _ in range(3):
+            r.reset()
+            t0 = time.perf_counter()
+            r.render(args.iters)
+            mine = np.clip(r.linear_image(), 0, 1)[:, ::-1, :]
+            wall = min(wall, time.perf_counter() - t0)
         psnr = 10.0 * math.log10(1.0 / float(((mine - golden) ** 2).mean()))
         print(
             json.dumps(
