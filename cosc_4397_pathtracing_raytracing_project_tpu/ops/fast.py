@@ -56,6 +56,9 @@ class _Best(NamedTuple):
     mat: jnp.ndarray  # int32 material id
     miss: jnp.ndarray  # bool
     outside: jnp.ndarray  # bool: hit from outside the primitive (for ior)
+    # original scene OBJECT index of the winner — needed only by the NEE
+    # MIS weight (lights.area_pdf_at); the mesh path leaves it None
+    geom: jnp.ndarray = None
 
 
 def _rsqrt(x):
@@ -176,9 +179,10 @@ def intersect_unrolled(scene: Scene, ox, oy, oz, dx, dy, dz) -> _Best:
         mat=jnp.zeros((n,), jnp.int32),
         miss=jnp.ones((n,), bool),
         outside=jnp.ones((n,), bool),
+        geom=jnp.full((n,), -1, jnp.int32),
     )
 
-    def consider(best, t, hit, nx, ny, nz, mat_id, outside):
+    def consider(best, t, hit, nx, ny, nz, mat_id, outside, geom_id):
         better = hit & (t > 0) & (t < best.t)
         return _Best(
             t=jnp.where(better, t, best.t),
@@ -188,6 +192,7 @@ def intersect_unrolled(scene: Scene, ox, oy, oz, dx, dy, dz) -> _Best:
             mat=jnp.where(better, mat_id, best.mat),
             miss=best.miss & ~better,
             outside=(best.outside & ~better) | (outside & better),
+            geom=jnp.where(better, geom_id, best.geom),
         )
 
     for k in range(scene.cubes.count):
@@ -197,7 +202,8 @@ def intersect_unrolled(scene: Scene, ox, oy, oz, dx, dy, dz) -> _Best:
             ox, oy, oz, dx, dy, dz,
         )
         best = consider(
-            best, t, hit, nx, ny, nz, scene.cubes.material_id[k], outside
+            best, t, hit, nx, ny, nz, scene.cubes.material_id[k], outside,
+            scene.cubes.geom_index[k],
         )
     for k in range(scene.spheres.count):
         t, hit, nx, ny, nz, outside = _sphere_test(
@@ -206,7 +212,8 @@ def intersect_unrolled(scene: Scene, ox, oy, oz, dx, dy, dz) -> _Best:
             ox, oy, oz, dx, dy, dz,
         )
         best = consider(
-            best, t, hit, nx, ny, nz, scene.spheres.material_id[k], outside
+            best, t, hit, nx, ny, nz, scene.spheres.material_id[k], outside,
+            scene.spheres.geom_index[k],
         )
     return best
 
@@ -256,18 +263,30 @@ def trace_sample_fast(
     iteration,
     pixel_offset=0,
     num_pixels=None,
+    light_sampler=None,
 ):
     """Full per-sample wavefront (raygen → bounce loop → radiance), SoA.
 
     Returns an [N, 3] radiance (light_only) or terminal-throughput
     (throughput mode) image contribution, matching render.engine.trace_sample.
-    """
+    With ``config.nee`` a ``light_sampler`` (ops.lights.make_light_sampler
+    on the concrete scene) must be supplied; direct light sampling + MIS
+    then runs per bounce, estimator-identical to ops.shade.shade_step's
+    nee branch (componentwise SoA form)."""
     from . import rng as rng_ops
 
     cam = scene.camera
     w, h = cam.resolution
     n = num_pixels if num_pixels is not None else cam.pixel_count
     legacy = config.gather_mode == "throughput"
+    use_nee = bool(getattr(config, "nee", False))
+    if use_nee and legacy:
+        raise ValueError("nee requires gather_mode='light_only'")
+    if use_nee and light_sampler is None:
+        raise ValueError(
+            "config.nee=True needs a light_sampler "
+            "(ops.lights.make_light_sampler on the concrete scene)"
+        )
 
     idx = pixel_offset + jnp.arange(n, dtype=jnp.int32)
     px = (idx % w).astype(jnp.float32)
@@ -295,28 +314,47 @@ def trace_sample_fast(
         jnp.full((n,), config.trace_depth, jnp.int32),  # bounces
         zeros, zeros, zeros,  # radiance r,g,b
     )
+    if use_nee:
+        # solid-angle pdf of the lobe that produced this ray (−1 = delta /
+        # primary), for the next emissive hit's MIS weight
+        carry = carry + (jnp.full((n,), -1.0, jnp.float32),)
 
     def bounce(carry, depth):
-        (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_) = carry
+        (ox, oy, oz, dx, dy, dz) = carry[:6]
         key = rng_ops.bounce_key(base_key, iteration, depth)
         u = jax.random.uniform(key, (rng_ops.NUM_LANES, n), jnp.float32)
         best = intersect_unrolled(scene, ox, oy, oz, dx, dy, dz)
-        return shade_soa(carry, best, u, scene.materials, depth, config), None
+        nee = None
+        if use_nee:
+            nee = (
+                light_sampler,
+                lambda sx, sy, sz, wx, wy, wz: intersect_unrolled(
+                    scene, sx, sy, sz, wx, wy, wz
+                ).t,
+                rng_ops.nee_uniforms(base_key, iteration, depth, n),
+            )
+        return shade_soa(
+            carry, best, u, scene.materials, depth, config, nee=nee
+        ), None
 
     carry, _ = jax.lax.scan(
         bounce, carry, jnp.arange(config.trace_depth, dtype=jnp.int32)
     )
-    (_, _, _, _, _, _, cr, cg, cb, _, rr_, rg_, rb_) = carry
+    (_, _, _, _, _, _, cr, cg, cb, _, rr_, rg_, rb_) = carry[:13]
     if legacy:
         return jnp.stack([cr, cg, cb], axis=-1)
     return jnp.stack([rr_, rg_, rb_], axis=-1)
 
 
-def shade_soa(carry, best: _Best, u, materials, depth, config):
+def shade_soa(carry, best: _Best, u, materials, depth, config, nee=None):
     """One masked shade/extend pass over SoA component state — the
     componentwise twin of ops.shade.shade_step (same reference semantics).
-    `carry` is the 13-tuple wavefront state; `u` is [NUM_LANES, N]."""
-    (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_) = carry
+    `carry` is the 13-tuple wavefront state (14 with `nee`: a trailing
+    prev_pdf register); `u` is [NUM_LANES, N]. `nee` is
+    ``(light_sampler, shadow_t_fn, uniforms [N,3])`` — direct light
+    sampling + MIS, the SoA twin of shade_step's nee branch."""
+    (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_) = carry[:13]
+    prev_pdf = carry[13] if nee is not None else None
     legacy = config.gather_mode == "throughput"
     u_rr, u_branch, u_a, u_b, u_c = u[0], u[1], u[2], u[3], u[4]
 
@@ -349,6 +387,25 @@ def shade_soa(carry, best: _Best, u, materials, depth, config):
         cr = jnp.where(hit_light, cr * mat["cr"] * mat["emit"], cr)
         cg = jnp.where(hit_light, cg * mat["cg"] * mat["emit"], cg)
         cb = jnp.where(hit_light, cb * mat["cb"] * mat["emit"], cb)
+    elif nee is not None:
+        # MIS balance heuristic (ops/shade.py emissive branch): a
+        # BRDF-sampled emissive hit reached via the previous vertex's
+        # diffuse lobe competes with NEE having sampled the same point
+        sampler = nee[0]
+        normal3 = jnp.stack([best.nx, best.ny, best.nz], axis=-1)
+        p_nee_area, sampled = sampler.area_pdf_at(best.geom, normal3)
+        cos_l = jnp.maximum(
+            -(dx * best.nx + dy * best.ny + dz * best.nz), 1e-6
+        )
+        p_nee_dir = p_nee_area * best.t * best.t / cos_l
+        w_emit = jnp.where(
+            (prev_pdf < 0.0) | ~sampled,
+            1.0,
+            prev_pdf / jnp.maximum(prev_pdf + p_nee_dir, 1e-20),
+        )
+        rr_ = jnp.where(hit_light, rr_ + cr * mat["cr"] * mat["emit"] * w_emit, rr_)
+        rg_ = jnp.where(hit_light, rg_ + cg * mat["cg"] * mat["emit"] * w_emit, rg_)
+        rb_ = jnp.where(hit_light, rb_ + cb * mat["cb"] * mat["emit"] * w_emit, rb_)
     else:
         rr_ = jnp.where(hit_light, rr_ + cr * mat["cr"] * mat["emit"], rr_)
         rg_ = jnp.where(hit_light, rg_ + cg * mat["cg"] * mat["emit"], rg_)
@@ -464,6 +521,54 @@ def shade_soa(carry, best: _Best, u, materials, depth, config):
     hy = oy + best.t * dy + ny * off
     hz = oz + best.t * dz + nz * off
 
+    if nee is not None:
+        # ── direct light at this vertex (ops/shade.py NEE block in SoA
+        # component form): estimate the diffuse component of the mixture
+        # BRDF, (1−P_spec)·albedo/π; cr/cg/cb are the post-RR, pre-tint
+        # throughput. The balance-heuristic partner lives at the
+        # emissive-hit branch above.
+        sampler, shadow_t, nee_u = nee
+        inv_pi = jnp.float32(0.3183098861837907)
+        glass = (
+            glass_mask if getattr(config, "enable_refraction", False) else None
+        )
+        base = act if glass is None else act & ~glass
+        lp, ln, pdf_a, le = sampler.sample(nee_u)
+        tox = lp[:, 0] - hx
+        toy = lp[:, 1] - hy
+        toz = lp[:, 2] - hz
+        d2 = tox * tox + toy * toy + toz * toz
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-24))
+        rdist = 1.0 / dist
+        wx, wy, wz = tox * rdist, toy * rdist, toz * rdist
+        cos_s = nx * wx + ny * wy + nz * wz
+        cos_l2 = -(ln[:, 0] * wx + ln[:, 1] * wy + ln[:, 2] * wz)
+        sh_t = shadow_t(hx, hy, hz, wx, wy, wz)
+        visible = sh_t >= dist - jnp.maximum(1e-3, 1e-3 * dist)
+        add = (base & (cos_s > 0.0) & (cos_l2 > 0.0)
+               & (dist > 1e-4) & visible)
+        diffuse_prob = 1.0 - refl
+        p_brdf_area = (
+            diffuse_prob * jnp.maximum(cos_s, 0.0) * inv_pi
+            * jnp.maximum(cos_l2, 0.0) / jnp.maximum(d2, 1e-12)
+        )
+        w_mis = pdf_a / jnp.maximum(pdf_a + p_brdf_area, 1e-20)
+        geomf = cos_s * cos_l2 / jnp.maximum(d2 * pdf_a, 1e-20)
+        k_d = diffuse_prob * inv_pi * geomf * w_mis
+        rr_ = jnp.where(add, rr_ + cr * mat["cr"] * k_d * le[:, 0], rr_)
+        rg_ = jnp.where(add, rg_ + cg * mat["cg"] * k_d * le[:, 1], rg_)
+        rb_ = jnp.where(add, rb_ + cb * mat["cb"] * k_d * le[:, 2], rb_)
+
+        # density of THIS vertex's lobe choice (next emissive hit's MIS):
+        # diffuse lanes carry (1−P)·cosθ/π, delta lobes −1
+        cos_new = jnp.maximum(new_dx * nx + new_dy * ny + new_dz * nz, 0.0)
+        diffuse_ext = act & ~spec
+        if glass is not None:
+            diffuse_ext = diffuse_ext & ~glass
+        prev_pdf = jnp.where(
+            diffuse_ext, diffuse_prob * cos_new * inv_pi, jnp.float32(-1.0)
+        )
+
     cr = jnp.where(act, cr * tint_r, cr)
     cg = jnp.where(act, cg * tint_g, cg)
     cb = jnp.where(act, cb * tint_b, cb)
@@ -475,7 +580,8 @@ def shade_soa(carry, best: _Best, u, materials, depth, config):
     dz = jnp.where(act, new_dz, dz)
     bounces = jnp.where(act, bounces - 1, jnp.zeros_like(bounces))
 
-    return (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_)
+    out = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_)
+    return out if nee is None else out + (prev_pdf,)
 
 def supports_mesh(scene: Scene) -> bool:
     """Mesh SoA pipeline: triangles via the cluster kernel + unrolled

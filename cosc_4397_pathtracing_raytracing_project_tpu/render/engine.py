@@ -162,10 +162,12 @@ def trace_sample(
     ``image[pixel] += color``, `pathtrace.cu:439-444`, happens in the
     caller's accumulate). `pixel_offset`/`num_pixels` select a contiguous
     tile of the flat pixel array (used by the sharded multi-chip path)."""
-    if config.nee and config.resolve_pipeline(scene) != "reference":
+    if config.nee and config.resolve_pipeline(scene) not in (
+        "reference", "fast", "pallas",
+    ):
         raise ValueError(
-            "nee at per-sample granularity is supported on the 'reference' "
-            f"pipeline only (resolved {config.resolve_pipeline(scene)!r}); "
+            "nee at per-sample granularity needs the 'reference' or 'fast' "
+            f"pipeline (resolved {config.resolve_pipeline(scene)!r}); "
             "the chunk-level megakernel supports it via pipeline='pallas' "
             "(make_pallas_step)"
         )
@@ -175,7 +177,8 @@ def trace_sample(
         from ..ops import fast as fast_mod
 
         return fast_mod.trace_sample_fast(
-            scene, config, base_key, iteration, pixel_offset, num_pixels
+            scene, config, base_key, iteration, pixel_offset, num_pixels,
+            light_sampler=light_sampler,
         )
 
     cam = scene.camera
