@@ -105,15 +105,15 @@ class RenderConfig:
 
         if self.nee:
             # direct light sampling: in-kernel on the TPU megakernel
-            # (static light tables + shadow-ray pass), wavefront shade_step
-            # elsewhere; both need light_only gathering
+            # (static light tables + shadow-ray pass), the SoA fast path
+            # elsewhere, the readable wavefront as fallback; all need
+            # light_only gathering (legacy mode raises downstream)
             try:
                 on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
             except Exception:
                 on_tpu = False
-            if (on_tpu and self.gather_mode == "light_only"
-                    and fast_mod.supports(scene)):
-                return "pallas"
+            if self.gather_mode == "light_only" and fast_mod.supports(scene):
+                return "pallas" if on_tpu else "fast"
             return "reference"
 
         try:
