@@ -171,6 +171,8 @@ def test_nee_validation():
         Renderer(_small(dark), RenderConfig(nee=True))
 
 
+@pytest.mark.slow  # two 32-spp renders; the validation test's fast+nee
+# step keeps the path covered in the fast lap
 def test_fast_nee_matches_reference_nee_mean():
     """The SoA fast-pipeline NEE is the same estimator as the reference
     wavefront's (different RNG streams, same mean): measured 0.3% image-
