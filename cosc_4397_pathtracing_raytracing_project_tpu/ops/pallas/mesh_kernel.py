@@ -46,7 +46,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CLUSTER = 64   # default triangles per cluster (one packed row block)
-SUPER = 16     # clusters per supercluster
+# Clusters per supercluster. 1080p/38.5k-tri fresh-process TPU sweep
+# (2026-08-18, fused sort, cells=2): 8 → 4.90, 16 → 4.97, 32 → 4.965,
+# 64 → 4.91 M rays/s — a flat plateau at 16-32, so 16 stays. With
+# CLUSTER {32: 4.82, 64: 4.90, 128: 4.78} and TILE_ROWS {16: 4.90,
+# 32: 2.91} this closes the kernel-shape tuning space; further mesh
+# wins need a structural change (see docs/ROADMAP.md).
+SUPER = 16
 BATCH = 8      # boxes slab-tested per scalar branch (see kernel notes)
 # Ray tile = TILE_ROWS × 128 lanes. 1080p sweep (38.5k tris, depth 8):
 # 8 → 936, 16 → 831 ms/sample — wider tiles amortize the per-box scalar

@@ -57,15 +57,21 @@ def main():
                          "(default 2: 4.90 vs 4.78 M rays/s at cells=4)")
     ap.add_argument("--tile-rows", type=int, default=None,
                     help="override mesh_kernel.TILE_ROWS (fresh process only)")
+    ap.add_argument("--super", type=int, default=None, dest="super_",
+                    help="override mesh_kernel.SUPER — clusters per "
+                         "supercluster (fresh process only)")
     args = ap.parse_args()
 
-    if args.tile_rows is not None:
+    if args.tile_rows is not None or args.super_ is not None:
         from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import (
             mesh_kernel,
         )
 
-        mesh_kernel.TILE_ROWS = args.tile_rows
-        mesh_kernel.TILE = args.tile_rows * mesh_kernel.LANES
+        if args.tile_rows is not None:
+            mesh_kernel.TILE_ROWS = args.tile_rows
+            mesh_kernel.TILE = args.tile_rows * mesh_kernel.LANES
+        if args.super_ is not None:
+            mesh_kernel.SUPER = args.super_
 
     from cosc_4397_pathtracing_raytracing_project_tpu import RenderConfig
     from cosc_4397_pathtracing_raytracing_project_tpu.ops import fast
