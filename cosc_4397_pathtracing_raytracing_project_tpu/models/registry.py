@@ -103,6 +103,12 @@ def make_renderer(
     overrides = dict(spec.config_overrides)
     if model == "wavefront":
         # the wavefront pipeline is driven through a custom step function
+        if base.nee:
+            # its step bypasses trace_sample, so nee would silently no-op
+            raise ValueError(
+                "nee is not supported by the wavefront-compaction model — "
+                "use 'auto', 'megakernel', 'shared' or 'bvh'"
+            )
         overrides = {"pipeline": "reference"}
     cfg = dataclasses.replace(base, **overrides)
     renderer = Renderer(scene, cfg, seed=seed)

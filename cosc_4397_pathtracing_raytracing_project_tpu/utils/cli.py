@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nee", action="store_true",
                    help="direct light sampling + MIS (extension; the working "
                         "version of the reference's dead dev_lightPositions). "
-                        "light_only estimator, reference pipeline only")
+                        "light_only estimator; in-kernel on the megakernel, "
+                        "SoA fast path or wavefront elsewhere")
     p.add_argument("--early-exit", action="store_true",
                    help="megakernel: skip bounces once a whole tile's lanes "
                         "terminate. Wins big on OPEN scenes (rays escape: "
@@ -100,8 +101,12 @@ def main(argv=None) -> int:
     if args.nee and args.estimator == "throughput":
         print("error: --nee needs the light_only estimator", file=sys.stderr)
         return 2
-    if args.nee and args.model != "auto":
-        print("error: --nee supports --model auto only", file=sys.stderr)
+    # nee runs on the reference wavefront, the SoA fast path ('shared'/
+    # 'naive'/'bvh'), and in-kernel on the megakernel; the custom
+    # wavefront-compaction step doesn't carry it
+    if args.nee and args.model == "wavefront":
+        print("error: --nee is not supported with --model wavefront",
+              file=sys.stderr)
         return 2
     if args.model == "auto":
         renderer = Renderer(desc, config, seed=args.seed)
