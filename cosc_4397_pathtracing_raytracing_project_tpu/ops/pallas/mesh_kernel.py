@@ -53,7 +53,11 @@ CLUSTER = 64   # default triangles per cluster (one packed row block)
 # 32: 2.91} this closes the kernel-shape tuning space; further mesh
 # wins need a structural change (see docs/ROADMAP.md).
 SUPER = 16
-BATCH = 8      # boxes slab-tested per scalar branch (see kernel notes)
+# Boxes slab-tested per scalar branch (see kernel notes). Fresh-process
+# TPU sweep (2026-08-18, same config as the SUPER sweep): 4 → 4.958,
+# 8 → 4.97, 16 → 4.879 M rays/s — 8 stays (16 halves the scalar
+# branches but wastes too much vector work past a hit).
+BATCH = 8
 # Ray tile = TILE_ROWS × 128 lanes. 1080p sweep (38.5k tris, depth 8):
 # 8 → 936, 16 → 831 ms/sample — wider tiles amortize the per-box scalar
 # branches faster than they lose tile-frustum coherence.

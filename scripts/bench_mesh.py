@@ -60,9 +60,13 @@ def main():
     ap.add_argument("--super", type=int, default=None, dest="super_",
                     help="override mesh_kernel.SUPER — clusters per "
                          "supercluster (fresh process only)")
+    ap.add_argument("--box-batch", type=int, default=None,
+                    help="override mesh_kernel.BATCH — boxes slab-tested "
+                         "per scalar branch (fresh process only)")
     args = ap.parse_args()
 
-    if args.tile_rows is not None or args.super_ is not None:
+    if (args.tile_rows is not None or args.super_ is not None
+            or args.box_batch is not None):
         from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import (
             mesh_kernel,
         )
@@ -72,6 +76,8 @@ def main():
             mesh_kernel.TILE = args.tile_rows * mesh_kernel.LANES
         if args.super_ is not None:
             mesh_kernel.SUPER = args.super_
+        if args.box_batch is not None:
+            mesh_kernel.BATCH = args.box_batch
 
     from cosc_4397_pathtracing_raytracing_project_tpu import RenderConfig
     from cosc_4397_pathtracing_raytracing_project_tpu.ops import fast
