@@ -286,12 +286,24 @@ def make_sharded_step(
     mesh: Mesh,
     intersector: Optional[Callable] = None,
 ):
-    """jit-compiled closure over the static pieces."""
+    """jit-compiled closure over the static pieces (incl. the nee light
+    sampler, built here while the scene is concrete)."""
+    light_sampler = None
+    if getattr(config, "nee", False):
+        from ..ops.lights import make_light_sampler
+
+        light_sampler = make_light_sampler(scene)
+        if light_sampler is None:
+            raise ValueError(
+                "config.nee=True but the scene has no emissive analytic "
+                "(cube/sphere) lights to sample"
+            )
     fn = partial(
         render_chunk_sharded,
         config=config,
         num_samples=num_samples,
         mesh=mesh,
         intersector=intersector,
+        light_sampler=light_sampler,
     )
     return jax.jit(lambda scene, state: fn(scene, state))
