@@ -529,9 +529,8 @@ def shade_soa(carry, best: _Best, u, materials, depth, config, nee=None):
         # emissive-hit branch above.
         sampler, shadow_t, nee_u = nee
         inv_pi = jnp.float32(0.3183098861837907)
-        glass = (
-            glass_mask if getattr(config, "enable_refraction", False) else None
-        )
+        # push_through doubles as the "refraction compiled in" marker
+        glass = glass_mask if push_through is not None else None
         base = act if glass is None else act & ~glass
         lp, ln, pdf_a, le = sampler.sample(nee_u)
         tox = lp[:, 0] - hx

@@ -783,7 +783,8 @@ def _make_kernel(
                 prev_pdf = st[13] if nee is not None else None
                 if ablation == "noprng":
                     u_rr = u_branch = u_a = u_b = px * 0.001
-                    u_l0 = u_l1 = u_l2 = px * 0.002
+                    if nee is not None:
+                        u_l0 = u_l1 = u_l2 = px * 0.002
                 else:
                     seed_prng(_mix(seed, iteration, depth, tile))
                     # pre-RR bounces never consume u_rr: skip the draw (the

@@ -103,23 +103,20 @@ class RenderConfig:
             return self.pipeline
         from ..ops import fast as fast_mod
 
+        try:
+            on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
+        except Exception:
+            on_tpu = False
+
         if self.nee:
             # direct light sampling: in-kernel on the TPU megakernel
             # (static light tables + shadow-ray pass), the SoA fast path
             # elsewhere, the readable wavefront as fallback; all need
             # light_only gathering (legacy mode raises downstream)
-            try:
-                on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-            except Exception:
-                on_tpu = False
             if self.gather_mode == "light_only" and fast_mod.supports(scene):
                 return "pallas" if on_tpu else "fast"
             return "reference"
 
-        try:
-            on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-        except Exception:
-            on_tpu = False
         if self.intersector in ("auto", "bruteforce") and fast_mod.supports(scene):
             return "pallas" if on_tpu else "fast"
         if on_tpu and fast_mod.supports_mesh(scene):
