@@ -61,6 +61,18 @@ BATCH = 8
 # Ray tile = TILE_ROWS × 128 lanes. 1080p sweep (38.5k tris, depth 8):
 # 8 → 936, 16 → 831 ms/sample — wider tiles amortize the per-box scalar
 # branches faster than they lose tile-frustum coherence.
+#
+# Sub-tile granularity for the cluster-ENTER predicate was built and
+# measured DEAD (2026-08-18, fresh-process TPU A/B): gating the
+# 64-triangle loop per (8,128) half-tile scored 4.18 vs 4.90 M rays/s
+# (−15%), with the offline predictor (scripts/sim_halftile.py) capping
+# the theoretical win at 5.5% (half-tiles enter 1.54/2 of parent-entered
+# clusters; quarter-tiles 2.46/4 are worse still). Lesson: the triangle
+# loop's cost is the per-triangle scalar row stream (dynamic (1,ROWF)
+# load + 14 element broadcasts), not VPU width — halving the vector
+# width saves ~nothing while +54% loop instances add full scalar cost.
+# Structural mesh work must cut *row loads per entered cluster*, not
+# lane-width.
 TILE_ROWS = 16
 LANES = 128
 TILE = TILE_ROWS * LANES
