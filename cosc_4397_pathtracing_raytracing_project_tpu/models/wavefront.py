@@ -53,7 +53,12 @@ def trace_sample_wavefront(
     jitter = (
         rng_ops.pixel_jitter(base_key, iteration, n) if config.antialias else None
     )
-    origins, directions = camera_ops.generate_rays(cam, jitter)
+    lens = (
+        rng_ops.lens_uniforms(base_key, iteration, n)
+        if getattr(config, "dof", False)
+        else None
+    )
+    origins, directions = camera_ops.generate_rays(cam, jitter, lens=lens)
     paths = PathState(
         origin=origins,
         direction=directions,

@@ -256,6 +256,31 @@ def _local_frame(vx, vy, vz):
     return tx, ty, tz, bx, by, bz
 
 
+def _thin_lens_soa(cam, ox, oy, oz, dx, dy, dz, u1, u2):
+    """Componentwise thin-lens transform of pinhole rays (ops.camera.
+    thin_lens in SoA form — DOF extension, no reference analog). The
+    pinhole direction is traced to the focal plane; the origin jitters to
+    a concentric lens-disk sample of radius cam.aperture in the
+    (right, up) plane and the direction re-aims at the pierce point."""
+    ct = dx * cam.view[0] + dy * cam.view[1] + dz * cam.view[2]
+    ft = cam.focal / jnp.maximum(ct, 1e-6)
+    fx = ox + dx * ft
+    fy = oy + dy * ft
+    fz = oz + dz * ft
+    r = cam.aperture * jnp.sqrt(u1)
+    th = (2.0 * jnp.pi) * u2
+    lx = r * jnp.cos(th)
+    ly = r * jnp.sin(th)
+    ox = ox + cam.right[0] * lx + cam.up[0] * ly
+    oy = oy + cam.right[1] * lx + cam.up[1] * ly
+    oz = oz + cam.right[2] * lx + cam.up[2] * ly
+    ndx = fx - ox
+    ndy = fy - oy
+    ndz = fz - oz
+    rn = _rsqrt(jnp.maximum(ndx * ndx + ndy * ndy + ndz * ndz, 1e-20))
+    return ox, oy, oz, ndx * rn, ndy * rn, ndz * rn
+
+
 def trace_sample_fast(
     scene: Scene,
     config,
@@ -305,6 +330,11 @@ def trace_sample_fast(
     ox = jnp.broadcast_to(cam.position[0], (n,))
     oy = jnp.broadcast_to(cam.position[1], (n,))
     oz = jnp.broadcast_to(cam.position[2], (n,))
+    if getattr(config, "dof", False):
+        lens2 = rng_ops.lens_uniforms(base_key, iteration, n)
+        ox, oy, oz, dx, dy, dz = _thin_lens_soa(
+            cam, ox, oy, oz, dx, dy, dz, lens2[:, 0], lens2[:, 1]
+        )
 
     ones = jnp.ones((n,), jnp.float32)
     zeros = jnp.zeros((n,), jnp.float32)
@@ -678,6 +708,16 @@ def trace_sample_mesh(
     ox = jnp.broadcast_to(cam.position[0], (n,))
     oy = jnp.broadcast_to(cam.position[1], (n,))
     oz = jnp.broadcast_to(cam.position[2], (n,))
+    if getattr(config, "dof", False):
+        # PIXEL-keyed like the jitter above: block order / shard slices get
+        # the same lens sample for a given pixel as a full-frame render
+        direct = not blocked and num_pixels is None
+        lens2 = rng_ops.lens_uniforms(base_key, iteration, w * h)
+        if not direct:
+            lens2 = jnp.take(lens2, idx, axis=0)
+        ox, oy, oz, dx, dy, dz = _thin_lens_soa(
+            cam, ox, oy, oz, dx, dy, dz, lens2[:, 0], lens2[:, 1]
+        )
 
     ones = jnp.ones((n,), jnp.float32)
     zeros = jnp.zeros((n,), jnp.float32)

@@ -369,6 +369,7 @@ def _make_kernel(
     early_exit: bool = False,
     hoist_primary: bool = False,
     nee: tuple = None,
+    dof: bool = False,
 ):
     # legacy mode's sky multiply keeps updating terminated lanes (quirk
     # parity), so an all-dead bounce is NOT a no-op there — never skip
@@ -398,6 +399,9 @@ def _make_kernel(
         up = [cam_ref[9], cam_ref[10], cam_ref[11]]
         plx = cam_ref[12]
         ply = cam_ref[13]
+        if dof:  # thin-lens scalars, hoisted to kernel entry like the rest
+            aperture = cam_ref[14]
+            focal = cam_ref[15]
 
         px = px_ref[:]
         py = py_ref[:]
@@ -455,9 +459,9 @@ def _make_kernel(
             rn = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
             return dx * rn, dy * rn, dz * rn
 
-        # without sub-pixel jitter the primary rays are iteration-invariant:
-        # generate them once per tile, not once per sample
-        base_dir = None if antialias else raygen(px, py)
+        # without sub-pixel jitter or a lens the primary rays are iteration-
+        # invariant: generate them once per tile, not once per sample
+        base_dir = None if (antialias or dof) else raygen(px, py)
 
         def intersect_all(ox, oy, oz, dx, dy, dz):
             """Nearest hit over all primitives, unrolled. Returns
@@ -741,7 +745,7 @@ def _make_kernel(
         # so renders are bit-identical; the values are loop-invariant
         # registers/VMEM across the whole batch.
         pre0 = None
-        if hoist_primary and not antialias:
+        if hoist_primary and not antialias and not dof:
             o0x = jnp.full(shape, pos[0])
             o0y = jnp.full(shape, pos[1])
             o0z = jnp.full(shape, pos[2])
@@ -754,11 +758,41 @@ def _make_kernel(
                 jx = draw_u01()
                 jy = draw_u01()
                 dx, dy, dz = raygen(px + jx, py + jy)
+            elif dof:
+                # lens-only: seed the per-(seed, iter, tile) camera stream
+                # (with antialias on, the 0xAA stream continues below)
+                seed_prng(_mix(seed, iteration, jnp.int32(0xD0F), tile))
+                dx, dy, dz = raygen(px, py)
             else:
                 dx, dy, dz = base_dir
             ox = jnp.full(shape, pos[0])
             oy = jnp.full(shape, pos[1])
             oz = jnp.full(shape, pos[2])
+            if dof:
+                # thin-lens (ops.camera.thin_lens, tile form): trace the
+                # pinhole ray to the focal plane, jitter the origin to a
+                # concentric lens-disk sample, re-aim at the pierce point
+                ct = dx * view[0] + dy * view[1] + dz * view[2]
+                ft = focal / jnp.maximum(ct, 1e-6)
+                fpx = ox + dx * ft
+                fpy = oy + dy * ft
+                fpz = oz + dz * ft
+                u1 = draw_u01()
+                u2 = draw_u01()
+                rl = aperture * jnp.sqrt(u1)
+                th = (2.0 * _PI) * u2
+                lx = rl * jnp.cos(th)
+                ly = rl * jnp.sin(th)
+                ox = ox + right[0] * lx + up[0] * ly
+                oy = oy + right[1] * lx + up[1] * ly
+                oz = oz + right[2] * lx + up[2] * ly
+                dx = fpx - ox
+                dy = fpy - oy
+                dz = fpz - oz
+                rn = jax.lax.rsqrt(
+                    jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20)
+                )
+                dx, dy, dz = dx * rn, dy * rn, dz * rn
             cr = jnp.ones(shape, jnp.float32)
             cg = jnp.ones(shape, jnp.float32)
             cb = jnp.ones(shape, jnp.float32)
@@ -1388,7 +1422,8 @@ def _render_samples_impl(
 
     geo, geo_mat, mats = _pack_scene(scene)
     cam_vec = jnp.concatenate(
-        [cam.position, cam.view, cam.right, cam.up, cam.pixel_length]
+        [cam.position, cam.view, cam.right, cam.up, cam.pixel_length,
+         cam.aperture[None], cam.focal[None]]  # 14,15: thin-lens (dof)
     )
     scal = jnp.stack(
         [
@@ -1421,6 +1456,7 @@ def _render_samples_impl(
         early_exit=early_exit,
         hoist_primary=hoist_primary,
         nee=nee_static,
+        dof=bool(getattr(config, "dof", False)),
     )
 
     grid = n_pad // TILE

@@ -91,3 +91,12 @@ def pixel_jitter(base_key: jax.Array, iteration, n: int) -> jax.Array:
     generates rays through pixel corners with no jitter, `pathtrace.cu:278-282`)."""
     key = jax.random.fold_in(jax.random.fold_in(base_key, iteration), 0x7EA)
     return jax.random.uniform(key, (n, 2), jnp.float32)
+
+
+def lens_uniforms(base_key: jax.Array, iteration, n: int) -> jax.Array:
+    """``[n, 2]`` lens-disk uniforms for thin-lens depth of field (extension:
+    the reference camera is strictly pinhole). Keyed like ``pixel_jitter``
+    but on its own fold constant, so enabling DOF never perturbs the
+    antialias or bounce streams."""
+    key = jax.random.fold_in(jax.random.fold_in(base_key, iteration), 0xD0F)
+    return jax.random.uniform(key, (n, 2), jnp.float32)

@@ -24,6 +24,20 @@ from ..scene.structs import Scene
 from .mesh import PIXEL_AXIS, SAMPLE_AXIS
 
 
+def _resolve_dof(scene: Scene, config: RenderConfig) -> RenderConfig:
+    """Resolve config.dof=None (auto) to a concrete static bool while the
+    scene is concrete — the same rule Renderer.__init__ applies (on iff the
+    camera's aperture > 0). Inside shard_map the camera is a tracer, so
+    the gate must be fixed here."""
+    if getattr(config, "dof", None) is None:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, dof=bool(float(scene.camera.aperture) > 0.0)
+        )
+    return config
+
+
 def _shard_extents(scene: Scene, num_samples: int, mesh: Mesh):
     """(local_pixels, local_samples) after validating divisibility."""
     n_total = scene.camera.pixel_count
@@ -190,6 +204,7 @@ def make_sharded_pallas_step(
     interpret: bool = False,
 ):
     """jit-compiled closure over the static pieces (megakernel pipeline)."""
+    config = _resolve_dof(scene, config)
     from ..ops.pallas import megakernel
 
     fn = partial(
@@ -266,6 +281,7 @@ def make_sharded_mesh_step(
     cluster intersector (triangle tables + visit order) is built once here
     from the concrete scene and closed over — inside the trace the scene
     arrays are tracers."""
+    config = _resolve_dof(scene, config)
     from ..render.engine import make_mesh_intersector
 
     cluster = make_mesh_intersector(scene, interpret=interpret)
@@ -288,6 +304,7 @@ def make_sharded_step(
 ):
     """jit-compiled closure over the static pieces (incl. the nee light
     sampler, built here while the scene is concrete)."""
+    config = _resolve_dof(scene, config)
     light_sampler = None
     if getattr(config, "nee", False):
         from ..ops.lights import make_light_sampler

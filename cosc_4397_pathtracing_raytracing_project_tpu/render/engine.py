@@ -92,6 +92,13 @@ class RenderConfig:
     # Ignored in throughput mode (the reference sky-multiply quirk keeps
     # touching dead lanes).
     early_exit: bool = False
+    # Extension: thin-lens depth of field (ops.camera.thin_lens) — the
+    # reference camera is strictly pinhole. None = auto (on iff the scene
+    # camera's APERTURE > 0); the Renderer resolves this to a concrete
+    # bool at init so the flag stays a static compile gate. aperture /
+    # focal themselves live on the Camera pytree (dynamic — refocusing
+    # never recompiles; FOCAL ≤ 0 auto-focuses on LOOKAT).
+    dof: Optional[bool] = None
     # Pipeline: 'pallas' = single-dispatch TPU megakernel (ops.pallas),
     # 'fast' = SoA unrolled XLA hot path (ops.fast), 'reference' = readable
     # [N,3] path (ops.intersect/shade). 'auto' picks the fastest the scene
@@ -193,8 +200,11 @@ def trace_sample(
     jitter = (
         rng_ops.pixel_jitter(base_key, iteration, n) if config.antialias else None
     )
+    lens = (
+        rng_ops.lens_uniforms(base_key, iteration, n) if config.dof else None
+    )
     origins, directions = camera_ops.generate_rays(
-        cam, jitter, pixel_offset=pixel_offset, num_pixels=n
+        cam, jitter, pixel_offset=pixel_offset, num_pixels=n, lens=lens
     )
     paths = init_paths(origins, directions, config.trace_depth)
 
@@ -423,6 +433,12 @@ class Renderer:
             self.target_iterations = 0
             self.image_name = "render"
 
+        if config.dof is None:
+            # resolve the auto gate to a concrete static bool: DOF compiles
+            # in exactly when the scene camera has a nonzero aperture
+            config = dataclasses.replace(
+                config, dof=bool(float(self.scene.camera.aperture) > 0.0)
+            )
         self.config = config
         self.state = RenderState.create(self.scene.camera.pixel_count, seed)
         self.metrics = MetricsTracker(self.scene.camera.pixel_count)

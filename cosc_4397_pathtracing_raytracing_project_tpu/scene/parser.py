@@ -117,6 +117,8 @@ def parse_scene(text: str, base_dir: str = ".") -> SceneDesc:
             eye = np.zeros(3, np.float32)
             lookat = np.zeros(3, np.float32)
             up = np.array([0, 1, 0], np.float32)
+            aperture = 0.0
+            focal = 0.0
             for _ in range(5):
                 ptoks = (cur.next_line() or "").split()
                 if not ptoks:
@@ -143,8 +145,16 @@ def parse_scene(text: str, base_dir: str = ".") -> SceneDesc:
                     lookat = _vec3(ptoks)
                 elif ptoks[0] == "UP":
                     up = _vec3(ptoks)
+                # extension lines (absent from every reference scene): thin-
+                # lens depth of field — APERTURE <radius>, FOCAL <distance>
+                # (FOCAL ≤ 0 or omitted = auto-focus on LOOKAT)
+                elif ptoks[0] == "APERTURE":
+                    aperture = float(ptoks[1])
+                elif ptoks[0] == "FOCAL":
+                    focal = float(ptoks[1])
             camera = CameraDesc(
-                resolution=res, fovy_deg=fovy, eye=eye, lookat=lookat, up=up
+                resolution=res, fovy_deg=fovy, eye=eye, lookat=lookat, up=up,
+                aperture=aperture, focal=focal,
             )
         elif head == "OBJECT":
             oid = int(tokens[1])

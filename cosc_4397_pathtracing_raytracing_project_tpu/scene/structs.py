@@ -38,6 +38,12 @@ class CameraDesc:
     eye: np.ndarray  # (3,)
     lookat: np.ndarray  # (3,)
     up: np.ndarray  # (3,)
+    # Extension: thin-lens depth of field (the reference camera is strictly
+    # pinhole, `scene.cpp:92-151`). aperture = lens radius in world units
+    # (0 = pinhole); focal = focal-plane distance along view (≤0 = auto:
+    # focus on LOOKAT).
+    aperture: float = 0.0
+    focal: float = 0.0
 
 
 @dataclasses.dataclass
@@ -143,6 +149,14 @@ class Camera(struct.PyTreeNode):
     right: jnp.ndarray  # (3,)
     pixel_length: jnp.ndarray  # (2,)
     resolution: Tuple[int, int] = struct.field(pytree_node=False, default=(0, 0))
+    # thin-lens extension (dynamic scalars so refocusing never recompiles);
+    # aperture 0 = pinhole, focal = focal-plane distance along `view`
+    aperture: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.float32)
+    )
+    focal: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.ones((), jnp.float32)
+    )
 
     @property
     def width(self) -> int:
@@ -246,6 +260,13 @@ def derive_camera(desc: CameraDesc) -> Camera:
         right=jnp.asarray(right, jnp.float32),
         pixel_length=jnp.asarray(pixel_length),
         resolution=(int(w), int(h)),
+        aperture=jnp.asarray(float(desc.aperture), jnp.float32),
+        # auto-focus: FOCAL ≤ 0 focuses on LOOKAT (zoom is exactly
+        # |eye − lookat|, and view points at lookat, so the lookat point
+        # lies on the focal plane)
+        focal=jnp.asarray(
+            float(desc.focal) if desc.focal > 0 else float(zoom), jnp.float32
+        ),
     )
 
 

@@ -39,9 +39,18 @@ class OrbitCameraController:
     og_lookat: np.ndarray
     pixel_length: np.ndarray
     changed: bool = True  # camchanged starts true (`main.cpp:14`)
+    # thin-lens extension: carried through rebuilds so orbiting a DOF
+    # camera keeps its lens. focal_auto=True refocuses on the (possibly
+    # panned) lookat every rebuild — focal tracks zoom exactly like the
+    # scene loader's FOCAL ≤ 0 auto mode.
+    aperture: float = 0.0
+    focal: float = 0.0
+    focal_auto: bool = True
 
     @classmethod
-    def from_camera(cls, camera: Camera, lookat=None) -> "OrbitCameraController":
+    def from_camera(
+        cls, camera: Camera, lookat=None, focal_auto: bool = True
+    ) -> "OrbitCameraController":
         position = np.asarray(camera.position, np.float64)
         if lookat is None:
             # reconstruct lookAt from position + view (reference keeps the
@@ -59,6 +68,9 @@ class OrbitCameraController:
             lookat=lookat.copy(),
             og_lookat=lookat.copy(),
             pixel_length=np.asarray(camera.pixel_length, np.float32).copy(),
+            aperture=float(camera.aperture),
+            focal=float(camera.focal),
+            focal_auto=focal_auto,
         )
 
     # ── interactions ──
@@ -107,4 +119,8 @@ class OrbitCameraController:
             right=jnp.asarray(right),
             pixel_length=jnp.asarray(self.pixel_length),
             resolution=(self.width, self.height),
+            aperture=jnp.asarray(self.aperture, jnp.float32),
+            focal=jnp.asarray(
+                self.zoom if self.focal_auto else self.focal, jnp.float32
+            ),
         )

@@ -88,6 +88,11 @@ class PreviewServer:
             lookat=lookat
             if lookat is not None
             else (renderer.desc.camera.lookat if renderer.desc else None),
+            # an explicit scene-file FOCAL stays fixed through orbits;
+            # auto (FOCAL ≤ 0 / absent) refocuses on lookat every rebuild
+            focal_auto=(renderer.desc.camera.focal <= 0)
+            if renderer.desc
+            else True,
         )
         self.host = host
         self.port = port

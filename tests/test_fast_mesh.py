@@ -149,3 +149,27 @@ def test_mesh_pipeline_matches_reference(tri_scene, cluster):
     assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-9) < 0.15
     corr = np.corrcoef(a.mean(-1), b.mean(-1))[0, 1]
     assert corr > 0.9
+
+
+def test_mesh_pipeline_dof(tri_scene, cluster):
+    """DOF on the mesh pipeline: finite, blurred (differs from pinhole),
+    and pinhole is untouched by the gate (dof=False path identical)."""
+    key = jax.random.PRNGKey(0)
+    cam = tri_scene.camera.replace(
+        aperture=jnp.float32(0.8), focal=jnp.float32(6.0)
+    )
+    sc = tri_scene.replace(camera=cam)
+    pin = fast.trace_sample_mesh(
+        sc, RenderConfig(trace_depth=3), key, jnp.int32(1), cluster
+    )
+    blur = fast.trace_sample_mesh(
+        sc, RenderConfig(trace_depth=3, dof=True), key, jnp.int32(1), cluster
+    )
+    a, b = np.asarray(pin), np.asarray(blur)
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).mean() > 1e-5
+    # gate off ignores the camera's aperture entirely (static no-op)
+    pin2 = fast.trace_sample_mesh(
+        tri_scene, RenderConfig(trace_depth=3), key, jnp.int32(1), cluster
+    )
+    np.testing.assert_array_equal(a, np.asarray(pin2))
