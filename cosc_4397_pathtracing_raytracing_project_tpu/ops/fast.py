@@ -647,17 +647,33 @@ def trace_sample_mesh(
     cluster_isect,
     pixel_offset=0,
     num_pixels=None,
+    light_sampler=None,
 ):
     """SoA wavefront for triangle-mesh scenes: per bounce, the cluster-culled
     Pallas kernel handles triangles (emitting winner t/normal/material
     in-kernel) and the unrolled loop handles analytic primitives; results
-    merge by nearest t and feed the shared shade_soa stage."""
+    merge by nearest t and feed the shared shade_soa stage.
+
+    With ``config.nee`` a ``light_sampler`` over the scene's ANALYTIC
+    emitters must be supplied; the shadow ray then tests triangles through
+    the cluster kernel and analytic primitives through the unrolled loop
+    (one extra nearest-hit pass per bounce). Emissive TRIANGLES stay
+    BRDF-sampled — the sampler does not cover them, so their MIS weight
+    is exactly 1 and the estimator stays unbiased."""
     from . import rng as rng_ops
 
     cam = scene.camera
     w, h = cam.resolution
     n = num_pixels if num_pixels is not None else cam.pixel_count
     legacy = config.gather_mode == "throughput"
+    use_nee = bool(getattr(config, "nee", False))
+    if use_nee and legacy:
+        raise ValueError("nee requires gather_mode='light_only'")
+    if use_nee and light_sampler is None:
+        raise ValueError(
+            "config.nee=True needs a light_sampler "
+            "(ops.lights.make_light_sampler on the concrete scene)"
+        )
     has_analytic = scene.cubes.count + scene.spheres.count > 0
     do_sort = getattr(config, "mesh_ray_sort", True) and not legacy
     if do_sort and w * h >= (1 << 24):
@@ -727,6 +743,10 @@ def trace_sample_mesh(
         jnp.full((n,), config.trace_depth, jnp.int32),
         zeros, zeros, zeros,
     )
+    if use_nee:
+        # prev-lobe solid-angle pdf for MIS (−1 = delta/primary), appended
+        # LAST so slots 0-12 keep their layout for the sort payloads
+        carry = carry + (jnp.full((n,), -1.0, jnp.float32),)
     # Ray i carries its GLOBAL pixel id through reorders: the per-bounce
     # hash uniforms key on it, so dp shards rendering different slices draw
     # decorrelated streams (local ids would repeat across shards), and a
@@ -760,7 +780,9 @@ def trace_sample_mesh(
         radiance scatters back through pixel indices at the end (finalGather
         architecture) — this is the stream 'compaction' that actually pays
         on a TPU."""
-        (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_) = carry
+        (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
+         rr_, rg_, rb_) = carry[:13]
+        prev = carry[13] if use_nee else None
         alive = bounces > 0
         octant = (
             (dx > 0).astype(jnp.int32)
@@ -783,13 +805,13 @@ def trace_sample_mesh(
             # memory speed-of-light). Stable + same key ⇒ identical
             # permutation to the argsort path; ints ride natively (no f32
             # round-trip, so no 2^24 pixel-id ceiling on this path).
-            out = jax.lax.sort(
-                (key9, ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
-                 rr_, rg_, rb_, pixel),
-                num_keys=1,
-                is_stable=True,
-            )
-            return out[1:14], out[14]
+            ops_ = [key9, ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
+                    rr_, rg_, rb_]
+            if use_nee:
+                ops_.append(prev)
+            ops_.append(pixel)
+            out = jax.lax.sort(tuple(ops_), num_keys=1, is_stable=True)
+            return tuple(out[1:-1]), out[-1]
         if n < (1 << 21) and dead_key < (1 << 10):
             # single-array sort of (key << 21 | lane): half the sorted bytes
             # of argsort's (key, iota) pair sort. Max value 1023<<21 | (2^21-1)
@@ -801,16 +823,17 @@ def trace_sample_mesh(
             perm = jnp.argsort(key9)
         # one row-gather for the whole wavefront (separate [N] gathers cost
         # ~16 ms each; a packed [N, 14] gather costs one)
-        packed = jnp.stack(
-            [ox, oy, oz, dx, dy, dz, cr, cg, cb,
-             bounces.astype(jnp.float32), rr_, rg_, rb_,
-             pixel.astype(jnp.float32)],
-            axis=-1,
-        )
+        cols_in = [ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                   bounces.astype(jnp.float32), rr_, rg_, rb_]
+        if use_nee:
+            cols_in.append(prev)
+        cols_in.append(pixel.astype(jnp.float32))
+        packed = jnp.stack(cols_in, axis=-1)
         packed = jnp.take(packed, perm, axis=0)
-        cols = [packed[:, i] for i in range(14)]
-        carry = tuple(cols[:9]) + (cols[9].astype(jnp.int32),) + tuple(cols[10:13])
-        return carry, cols[13].astype(jnp.int32)
+        cols = [packed[:, i] for i in range(len(cols_in))]
+        carry = (tuple(cols[:9]) + (cols[9].astype(jnp.int32),)
+                 + tuple(cols[10:-1]))
+        return carry, cols[-1].astype(jnp.int32)
 
     def intersect_combined(ox, oy, oz, dx, dy, dz, alive) -> _Best:
         t, ti, nx, ny, nz, mat_f = cluster_isect.call_soa(
@@ -823,6 +846,9 @@ def trace_sample_mesh(
             mat=mat_f.astype(jnp.int32),
             miss=~tri_hit,
             outside=jnp.ones_like(tri_hit),  # triangles are thin surfaces
+            # NEE MIS: triangles are never in the analytic light sampler,
+            # so any id it does not cover works — use -1 (pdf 0, weight 1)
+            geom=jnp.full_like(ti, -1) if use_nee else None,
         )
         if has_analytic:
             a = intersect_unrolled(scene, ox, oy, oz, dx, dy, dz)
@@ -835,6 +861,8 @@ def trace_sample_mesh(
                 mat=jnp.where(a_wins, a.mat, best.mat),
                 miss=best.miss & ~a_wins,
                 outside=jnp.where(a_wins, a.outside, best.outside),
+                geom=(jnp.where(a_wins, a.geom, best.geom)
+                      if use_nee else None),
             )
         return best
 
@@ -854,7 +882,35 @@ def trace_sample_mesh(
         # image-invariance also relies on the light_only estimator).
         alive = (bounces > 0) if not legacy else jnp.ones((n,), bool)
         best = intersect_combined(ox, oy, oz, dx, dy, dz, alive)
-        return shade_soa(carry, best, u, scene.materials, depth, config), pixel
+        nee = None
+        if use_nee:
+            def shadow_t(sx, sy, sz, wx, wy, wz):
+                # t-only cluster-kernel variant (mode='tmin'): no winner
+                # payloads, 1 output — dodges the scoped-vmem blowup of
+                # two full 6-output kernels per bounce and skips 10 ops
+                # per triangle test; dead lanes keep tile-level skipping
+                st = cluster_isect.call_t(
+                    sx, sy, sz, wx, wy, wz, active=alive
+                )
+                if has_analytic:
+                    st = jnp.minimum(
+                        st,
+                        intersect_unrolled(scene, sx, sy, sz,
+                                           wx, wy, wz).t,
+                    )
+                return st
+
+            nee = (
+                light_sampler,
+                shadow_t,
+                # PIXEL-keyed like the bounce uniforms: the per-bounce
+                # resort must stay image-invariant with NEE on
+                rng_ops.hash_nee_uniforms(base_key, iteration, depth,
+                                          pixel),
+            )
+        return shade_soa(
+            carry, best, u, scene.materials, depth, config, nee=nee
+        ), pixel
 
     # Primary rays are coherent by construction (block order, or scanline
     # order otherwise): bounce 0 skips the sort (one argsort + one [N, 14]
@@ -890,7 +946,7 @@ def trace_sample_mesh(
                 carry, pixel, jnp.int32(1 + full * se + k),
                 sort=do_sort and k == 0,
             )
-    (_, _, _, _, _, _, cr, cg, cb, _, rr_, rg_, rb_) = carry
+    (_, _, _, _, _, _, cr, cg, cb, _, rr_, rg_, rb_) = carry[:13]
     if legacy:
         return jnp.stack([cr, cg, cb], axis=-1)
     if do_sort:

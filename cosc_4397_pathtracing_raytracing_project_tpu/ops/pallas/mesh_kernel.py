@@ -67,18 +67,48 @@ BATCH = 8
 # 64-triangle loop per (8,128) half-tile scored 4.18 vs 4.90 M rays/s
 # (−15%), with the offline predictor (scripts/sim_halftile.py) capping
 # the theoretical win at 5.5% (half-tiles enter 1.54/2 of parent-entered
-# clusters; quarter-tiles 2.46/4 are worse still). Lesson: the triangle
-# loop's cost is the per-triangle scalar row stream (dynamic (1,ROWF)
-# load + 14 element broadcasts), not VPU width — halving the vector
-# width saves ~nothing while +54% loop instances add full scalar cost.
-# Structural mesh work must cut *row loads per entered cluster*, not
-# lane-width.
+# clusters; quarter-tiles 2.46/4 are worse still). Lesson: roughly half
+# the per-triangle ops (the row load + 14 element broadcasts) don't
+# shrink with lane-width, so halving the width saves ~25% per instance
+# while +54% instances add full cost. See the ABLATION note below for
+# the follow-up that settled the loop's exact cost composition.
 TILE_ROWS = 16
 LANES = 128
 TILE = TILE_ROWS * LANES
 
 _MISS = 1e30
 _BACKOFF = 1e-4
+
+# Timing-probe knob (fresh process only, images are WRONG under it):
+#   ''        normal kernel
+#   'notri'   keep the per-triangle row loads + element extracts, replace
+#             the Möller–Trumbore vector math with a trivial combine —
+#             isolates the scalar/extract stream's share of the loop
+#   'noload'  keep the full MT math, but reuse the cluster's FIRST row for
+#             every iteration (one load hoisted out of the loop) —
+#             isolates the vector math's share
+# Driven by scripts/bench_mesh.py --ablation; see the TILE_ROWS comment
+# for why this composition question decides the structural direction.
+ABLATION = ""
+# Cost composition, settled by the ablation probes + a software-pipelining
+# A/B (fresh-process TPU, 2026-08-18): ctrl 427, notri (loads/extracts
+# only) 202, noload (MT math only) 198 ms/sample — the halves sum to the
+# whole, and an explicit prefetch-row-j+1 restructure measured EXACTLY
+# neutral (427.5 vs 427.5; 424.7 vs 425.8). Conclusion: the element
+# broadcasts are themselves VPU ops, so the triangle loop is purely
+# vector-op-count bound (~66 ops/triangle: 14 broadcasts + ~40 MT +
+# selects) with nothing left to overlap. Per-test cost is at the
+# algorithm's speed of light; the only remaining lever is testing fewer
+# triangles per tile, and the culling/tuning space above is exhausted.
+
+# XLA compile options for any jit that wraps the mesh pipeline. Small
+# frames (≤ 2 chunks) tempt XLA to park the chunk loop's carried pallas
+# operands/results in scoped VMEM; the co-live set peaks at ~32.06M
+# against a 16M default limit (hard compile error). v5e VMEM is 128M, so
+# a 48M scoped budget is safe — and parking operands in VMEM is a win
+# when it fits. Applied by engine.make_mesh_step, the sharded mesh step,
+# and scripts/bench_mesh.py.
+JIT_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 49152}
 
 # the 8 octant diagonal directions, index = (dx>0) + 2(dy>0) + 4(dz>0)
 _OCTANT_SIGNS = np.array(
@@ -276,10 +306,25 @@ def _slab(box, ox, oy, oz, inv_dx, inv_dy, inv_dz, best_t, active):
     return (tmax >= tmin) & (tmin < best_t) & active
 
 
-def _make_kernel(num_super: int, cluster_size: int):
+def _make_kernel(num_super: int, cluster_size: int, ablation: str = "",
+                 mode: str = "full"):
+    # mode='full': nearest hit with winner normal/material/index (6 outputs).
+    # mode='tmin': nearest DISTANCE only (1 output, 1 scratch) — the shadow-
+    # ray variant: drops the 5 winner-payload broadcasts + selects from the
+    # triangle loop and keeps the pallas call's VMEM footprint minimal (the
+    # full kernel's 6 (1024,128) outputs next to the main intersect's own
+    # were observed to blow the 16M scoped-vmem limit when XLA parked both
+    # calls' outputs in VMEM).
+    full = mode == "full"
+    assert full or not ablation, "ablation probes only exist in full mode"
+
     def kernel(tri_ref, sc_ref, cl_ref, ox_ref, oy_ref, oz_ref, dx_ref,
-               dy_ref, dz_ref, act_ref, t_out, i_out, nx_out, ny_out, nz_out,
-               m_out, best_t, best_i, bnx, bny, bnz, bmat):
+               dy_ref, dz_ref, act_ref, *rest):
+        if full:
+            (t_out, i_out, nx_out, ny_out, nz_out, m_out,
+             best_t, best_i, bnx, bny, bnz, bmat) = rest
+        else:
+            t_out, best_t = rest
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         active = act_ref[:] > 0.5  # dead lanes never mark a cluster useful
@@ -287,11 +332,12 @@ def _make_kernel(num_super: int, cluster_size: int):
         inv_dy = 1.0 / dy
         inv_dz = 1.0 / dz
         best_t[:] = jnp.full(ox.shape, _MISS, jnp.float32)
-        best_i[:] = jnp.full(ox.shape, -1, jnp.int32)
-        bnx[:] = jnp.zeros(ox.shape, jnp.float32)
-        bny[:] = jnp.zeros(ox.shape, jnp.float32)
-        bnz[:] = jnp.zeros(ox.shape, jnp.float32)
-        bmat[:] = jnp.zeros(ox.shape, jnp.float32)
+        if full:
+            best_i[:] = jnp.full(ox.shape, -1, jnp.int32)
+            bnx[:] = jnp.zeros(ox.shape, jnp.float32)
+            bny[:] = jnp.zeros(ox.shape, jnp.float32)
+            bnz[:] = jnp.zeros(ox.shape, jnp.float32)
+            bmat[:] = jnp.zeros(ox.shape, jnp.float32)
 
         # majority direction octant of the tile's (live) rays — the
         # wavefront sort makes tiles octant-coherent, so a per-axis
@@ -314,11 +360,33 @@ def _make_kernel(num_super: int, cluster_size: int):
                 # winner state rides the loop carry (vector registers):
                 # per-triangle scratch-ref read/writes would round-trip VMEM
                 # 12× per triangle
-                bt, bi, cnx, cny, cnz, cbm = carry
-                row = tri_ref[pl.ds(base + j, 1), :]  # (1, ROWF)
-                v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
-                e1x, e1y, e1z = row[0, 3], row[0, 4], row[0, 5]
-                e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
+                if full:
+                    bt, bi, cnx, cny, cnz, cbm = carry
+                else:
+                    (bt,) = carry
+                if ablation == "noload":
+                    # timing probe: full MT math on per-iteration immediates
+                    # (no VMEM row load, no element extracts). Values vary by
+                    # j so the unrolled iterations can't CSE-collapse.
+                    f = lambda k: jnp.float32(0.11 * ((j * 14 + k) % 97) - 4.0)
+                    v0x, v0y, v0z = f(0), f(1), f(2)
+                    e1x, e1y, e1z = f(3), f(4), f(5)
+                    e2x, e2y, e2z = f(6), f(7), f(8)
+                    row = None
+                else:
+                    row = tri_ref[pl.ds(base + j, 1), :]  # (1, ROWF)
+                    v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
+                    e1x, e1y, e1z = row[0, 3], row[0, 4], row[0, 5]
+                    e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
+                if ablation == "notri":
+                    # timing probe: consume all 14 loaded elements in one
+                    # chain, skip the MT math entirely
+                    s14 = (v0x + v0y + v0z + e1x + e1y + e1z
+                           + e2x + e2y + e2z + row[0, 9] + row[0, 10]
+                           + row[0, 11] + row[0, 12] + row[0, 13])
+                    dead = (ox + s14) < jnp.float32(-3e30)  # always False
+                    return (jnp.where(dead, bt - 1.0, bt), bi,
+                            cnx, cny, cnz, cbm)
                 # Möller–Trumbore, all lanes vs one triangle
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
@@ -345,14 +413,23 @@ def _make_kernel(num_super: int, cluster_size: int):
                 # geometric normal = stored n = e1×e2, flipped to face the
                 # incoming ray: d·n = −det, so the facing sign is just
                 # sign(det) (normalized once after the sweep)
+                if not full:
+                    return (jnp.where(ok, t, bt),)
                 fsign = jnp.where(det > 0, 1.0, -1.0)
+                if ablation == "noload":
+                    n9, n10, n11, n12 = f(9), f(10), f(11), f(12)
+                    i13 = jnp.int32(j)
+                else:
+                    n9, n10, n11 = row[0, 9], row[0, 10], row[0, 11]
+                    n12 = row[0, 12]
+                    i13 = row[0, 13].astype(jnp.int32)
                 return (
                     jnp.where(ok, t, bt),
-                    jnp.where(ok, row[0, 13].astype(jnp.int32), bi),
-                    jnp.where(ok, row[0, 9] * fsign, cnx),
-                    jnp.where(ok, row[0, 10] * fsign, cny),
-                    jnp.where(ok, row[0, 11] * fsign, cnz),
-                    jnp.where(ok, row[0, 12], cbm),
+                    jnp.where(ok, i13, bi),
+                    jnp.where(ok, n9 * fsign, cnx),
+                    jnp.where(ok, n10 * fsign, cny),
+                    jnp.where(ok, n11 * fsign, cnz),
+                    jnp.where(ok, n12, cbm),
                 )
 
             return tri_body
@@ -371,14 +448,19 @@ def _make_kernel(num_super: int, cluster_size: int):
             @pl.when(jnp.any(useful))
             def _():
                 base = box[0, 6].astype(jnp.int32)
-                out = jax.lax.fori_loop(
-                    0,
-                    cluster_size,
-                    make_tri_body(base),
-                    (best_t[:], best_i[:], bnx[:], bny[:], bnz[:], bmat[:]),
-                    unroll=True,
+                init = (
+                    (best_t[:], best_i[:], bnx[:], bny[:], bnz[:], bmat[:])
+                    if full
+                    else (best_t[:],)
                 )
-                best_t[:], best_i[:], bnx[:], bny[:], bnz[:], bmat[:] = out
+                out = jax.lax.fori_loop(
+                    0, cluster_size, make_tri_body(base), init, unroll=True
+                )
+                if full:
+                    (best_t[:], best_i[:], bnx[:], bny[:], bnz[:],
+                     bmat[:]) = out
+                else:
+                    best_t[:] = out[0]
 
             return s
 
@@ -430,14 +512,18 @@ def _make_kernel(num_super: int, cluster_size: int):
             jax.lax.fori_loop(0, num_super // BATCH, super_batch_body, 0)
 
         t_out[:] = best_t[:]
-        i_out[:] = best_i[:]
-        rn = jax.lax.rsqrt(
-            jnp.maximum(bnx[:] * bnx[:] + bny[:] * bny[:] + bnz[:] * bnz[:], 1e-30)
-        )
-        nx_out[:] = bnx[:] * rn
-        ny_out[:] = bny[:] * rn
-        nz_out[:] = bnz[:] * rn
-        m_out[:] = bmat[:]
+        if full:
+            i_out[:] = best_i[:]
+            rn = jax.lax.rsqrt(
+                jnp.maximum(
+                    bnx[:] * bnx[:] + bny[:] * bny[:] + bnz[:] * bnz[:],
+                    1e-30,
+                )
+            )
+            nx_out[:] = bnx[:] * rn
+            ny_out[:] = bny[:] * rn
+            nz_out[:] = bnz[:] * rn
+            m_out[:] = bmat[:]
 
     return kernel
 
@@ -448,7 +534,9 @@ _CHUNK_ROWS = 1024  # 128k rays per call
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_super", "cluster_size", "interpret")
+    jax.jit,
+    static_argnames=("num_super", "cluster_size", "interpret",
+                     "ablation", "mode"),
 )
 def _intersect(
     tri_rows: jnp.ndarray,
@@ -458,11 +546,21 @@ def _intersect(
     num_super: int,
     cluster_size: int,
     interpret: bool = False,
+    ablation: str = "",
+    mode: str = "full",
 ):
     n = ox.shape[0]
     chunk = _CHUNK_ROWS * LANES
     n_pad = ((n + chunk - 1) // chunk) * chunk
     n_chunks = n_pad // chunk
+    if n_chunks == 1 and not interpret:
+        # A single-iteration lax.map unrolls to straight-line code, where
+        # XLA parks the pallas calls' operands/results in scoped VMEM —
+        # with NEE's two intersect calls per bounce that overflows the
+        # 16M scoped-vmem limit (observed at 480×270: 32.05M > 16M).
+        # A real ≥2-iteration loop keeps the buffers in HBM; the extra
+        # all-dead pad chunk costs one scalar branch per tile.
+        n_chunks, n_pad = 2, 2 * chunk
 
     def pad3(x, fill):
         if n_pad != n:
@@ -477,8 +575,28 @@ def _intersect(
     block = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((_CHUNK_ROWS, LANES), jnp.float32)
+    full = mode == "full"
+    if full:
+        out_specs = (block,) * 6
+        out_shape = (
+            f32,
+            jax.ShapeDtypeStruct((_CHUNK_ROWS, LANES), jnp.int32),
+            f32, f32, f32, f32,
+        )
+        scratch = [
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
+        ]
+    else:  # 'tmin': one output, one scratch — the shadow-ray variant
+        out_specs = (block,)
+        out_shape = (f32,)
+        scratch = [pltpu.VMEM((TILE_ROWS, LANES), jnp.float32)]
     call = pl.pallas_call(
-        _make_kernel(num_super, cluster_size),
+        _make_kernel(num_super, cluster_size, ablation, mode),
         grid=(_CHUNK_ROWS // TILE_ROWS,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tri rows (full)
@@ -486,20 +604,9 @@ def _intersect(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster visit rows
             block, block, block, block, block, block, block,
         ],
-        out_specs=(block,) * 6,
-        out_shape=(
-            f32,
-            jax.ShapeDtypeStruct((_CHUNK_ROWS, LANES), jnp.int32),
-            f32, f32, f32, f32,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
-            pltpu.VMEM((TILE_ROWS, LANES), jnp.int32),
-            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
-            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
-            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
-            pltpu.VMEM((TILE_ROWS, LANES), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )
 
@@ -509,6 +616,8 @@ def _intersect(
                     cdz, cact)
 
     outs = jax.lax.map(one, args)
+    if not full:
+        outs = (outs,) if not isinstance(outs, tuple) else outs
     return tuple(o.reshape(-1)[:n] for o in outs)
 
 
@@ -570,7 +679,26 @@ class ClusterMeshIntersector:
             num_super=self.num_super,
             cluster_size=self.cluster_size,
             interpret=self.interpret,
+            ablation=ABLATION,
         )
+
+    def call_t(self, ox, oy, oz, dx, dy, dz, active=None) -> jnp.ndarray:
+        """Nearest-hit DISTANCE only (_MISS when nothing hit) — the
+        shadow-ray variant: 1 kernel output instead of 6 and no winner
+        payload work in the triangle loop."""
+        if active is None:
+            active = jnp.ones(ox.shape, jnp.float32)
+        (t,) = _intersect(
+            self.tri_rows,
+            self.sc_rows,
+            self.cl_rows,
+            ox, oy, oz, dx, dy, dz, active.astype(jnp.float32),
+            num_super=self.num_super,
+            cluster_size=self.cluster_size,
+            interpret=self.interpret,
+            mode="tmin",
+        )
+        return t
 
     def __call__(self, origins, directions) -> Tuple[jnp.ndarray, jnp.ndarray]:
         t, i, _, _, _, _ = self.call_soa(

@@ -78,6 +78,35 @@ def hash_bounce_uniforms(
     return jnp.stack(us)
 
 
+def hash_nee_uniforms(
+    base_key: jax.Array, iteration, depth, pixel_ids: jax.Array
+) -> jax.Array:
+    """``[n, 3]`` NEE uniforms from the counter-hash, keyed by PIXEL id —
+    the reordered-wavefront twin of :func:`nee_uniforms` (the mesh pipeline
+    resorts rays per bounce, so lane-indexed draws would violate the
+    pixel-keyed-RNG invariant that makes sorting image-invariant). Uses
+    hash lanes NUM_LANES..NUM_LANES+2, disjoint from the bounce draws."""
+    kd = jax.random.key_data(base_key).reshape(-1)[-1].astype(jnp.uint32)
+    ctr = (jnp.asarray(iteration).astype(jnp.uint32) << jnp.uint32(5)) | (
+        jnp.asarray(depth).astype(jnp.uint32) & jnp.uint32(31)
+    )
+    x = ctr ^ (kd * jnp.uint32(0x9E3779B9))
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+    seed = x ^ (x >> jnp.uint32(16))
+    p = pixel_ids.astype(jnp.uint32)
+    us = []
+    for lane in range(NUM_LANES, NUM_LANES + 3):
+        x = p ^ (seed + jnp.uint32(lane) * jnp.uint32(0x9E3779B9))
+        x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+        x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> jnp.uint32(16))
+        us.append(
+            (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
+        )
+    return jnp.stack(us, axis=-1)
+
+
 def nee_uniforms(base_key: jax.Array, iteration, depth, n: int) -> jax.Array:
     """``[n, 3]`` uniforms for direct light sampling (light pick + 2 surface
     coordinates; ops/lights.py). A separate fold tag keeps the existing

@@ -233,6 +233,7 @@ def render_chunk_sharded_mesh(
     num_samples: int,
     mesh: Mesh,
     cluster_isect,
+    light_sampler=None,
 ) -> RenderState:
     """Multi-chip triangle-mesh step: each dp rank runs the sorted-wavefront
     mesh pipeline (ops.fast.trace_sample_mesh + the cluster-culled Pallas
@@ -256,6 +257,7 @@ def render_chunk_sharded_mesh(
             color = fast.trace_sample_mesh(
                 scene, config, key, it, cluster_isect,
                 pixel_offset=offset, num_pixels=local_pixels,
+                light_sampler=light_sampler,
             )
             return acc + color, None
 
@@ -285,14 +287,30 @@ def make_sharded_mesh_step(
     from ..render.engine import make_mesh_intersector
 
     cluster = make_mesh_intersector(scene, interpret=interpret)
+    light_sampler = None
+    if getattr(config, "nee", False):
+        from ..ops.lights import make_light_sampler
+
+        light_sampler = make_light_sampler(scene)
+        if light_sampler is None:
+            raise ValueError(
+                "config.nee=True but the scene has no emissive analytic "
+                "(cube/sphere) lights to sample"
+            )
     fn = partial(
         render_chunk_sharded_mesh,
         config=config,
         num_samples=num_samples,
         mesh=mesh,
         cluster_isect=cluster,
+        light_sampler=light_sampler,
     )
-    return jax.jit(lambda scene, state: fn(scene, state))
+    from ..ops.pallas.mesh_kernel import JIT_COMPILER_OPTIONS
+
+    return jax.jit(
+        lambda scene, state: fn(scene, state),
+        compiler_options=None if interpret else JIT_COMPILER_OPTIONS,
+    )
 
 
 def make_sharded_step(

@@ -118,10 +118,17 @@ class RenderConfig:
         if self.nee:
             # direct light sampling: in-kernel on the TPU megakernel
             # (static light tables + shadow-ray pass), the SoA fast path
-            # elsewhere, the readable wavefront as fallback; all need
-            # light_only gathering (legacy mode raises downstream)
+            # elsewhere, the mesh pipeline for triangle scenes (cluster-
+            # kernel shadow rays), the readable wavefront as fallback; all
+            # need light_only gathering (legacy mode raises downstream)
             if self.gather_mode == "light_only" and fast_mod.supports(scene):
                 return "pallas" if on_tpu else "fast"
+            if (
+                self.gather_mode == "light_only"
+                and on_tpu
+                and fast_mod.supports_mesh(scene)
+            ):
+                return "fast_mesh"
             return "reference"
 
         if self.intersector in ("auto", "bruteforce") and fast_mod.supports(scene):
@@ -369,20 +376,27 @@ def make_mesh_intersector(scene: Scene, interpret: bool = False):
     )
 
 
-def make_mesh_step(scene: Scene, interpret: bool = False):
+def make_mesh_step(scene: Scene, interpret: bool = False,
+                   light_sampler=None):
     """Step function for the SoA mesh pipeline (ops.fast.trace_sample_mesh).
 
     Dispatches ONE sample per device call: a large-mesh sample at high
     resolution can run for seconds, and batching several into a single XLA
-    computation trips the TPU watchdog (observed as a worker crash)."""
+    computation trips the TPU watchdog (observed as a worker crash).
+    `light_sampler` (ops.lights.make_light_sampler on the concrete scene)
+    enables NEE when the config asks for it."""
     from ..ops import fast as fast_mod
+
+    from ..ops.pallas.mesh_kernel import JIT_COMPILER_OPTIONS
 
     cluster = make_mesh_intersector(scene, interpret=interpret)
 
-    @partial(jax.jit, static_argnames=("config",))
+    @partial(jax.jit, static_argnames=("config",),
+             compiler_options=None if interpret else JIT_COMPILER_OPTIONS)
     def one(scene, accum, key, iteration, config):
         return accum + fast_mod.trace_sample_mesh(
-            scene, config, key, iteration, cluster
+            scene, config, key, iteration, cluster,
+            light_sampler=light_sampler,
         )
 
     def step(scene, state, config, num_samples):
@@ -453,14 +467,20 @@ class Renderer:
         if pipeline == "pallas":
             self._step = make_pallas_step(scene=self.scene, config=config)
         elif pipeline == "fast_mesh":
+            mesh_sampler = None
             if config.nee:
-                # silently dropping the estimator change would be worse
-                # than refusing (the mesh wavefront BRDF-samples emitters)
-                raise ValueError(
-                    "nee is not supported on the mesh pipeline — use "
-                    "pipeline='reference' (slow) or drop nee"
-                )
-            self._step = make_mesh_step(self.scene)
+                from ..ops.lights import make_light_sampler
+
+                mesh_sampler = make_light_sampler(self.scene)
+                if mesh_sampler is None:
+                    # emissive triangles stay BRDF-sampled; NEE needs at
+                    # least one analytic (cube/sphere) emitter to aim at
+                    raise ValueError(
+                        "config.nee=True but the scene has no emissive "
+                        "analytic (cube/sphere) lights to sample"
+                    )
+            self._step = make_mesh_step(self.scene,
+                                        light_sampler=mesh_sampler)
         else:
             # A distinct closure per Renderer: sharing a HashablePartial
             # across jit wrappers aliases their executable caches in jax 0.9

@@ -132,7 +132,10 @@ def profile_pipeline(scene: Scene, config, seed: int = 0, reps: int = 3) -> Dict
     t1 = _time(runner(1), reps=reps)
     t2 = _time(runner(2), reps=reps)
     td = _time(runner(depth), reps=reps)
-    per_bounce = (td - t2) / max(depth - 2, 1)
+    # clamp: on a loaded host the deeper render can time FASTER than the
+    # shallow one (noise exceeds the per-bounce delta), which would report
+    # a negative marginal bounce cost
+    per_bounce = max((td - t2) / max(depth - 2, 1), 0.0)
     return {
         "pipeline": pipeline,
         "depth": depth,

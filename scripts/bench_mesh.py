@@ -63,10 +63,18 @@ def main():
     ap.add_argument("--box-batch", type=int, default=None,
                     help="override mesh_kernel.BATCH — boxes slab-tested "
                          "per scalar branch (fresh process only)")
+    ap.add_argument("--nee", action="store_true",
+                    help="direct light sampling + MIS (cluster-kernel "
+                         "shadow rays; needs an analytic emitter)")
+    ap.add_argument("--ablation", default=None,
+                    choices=["notri", "noload"],
+                    help="timing probe (image is WRONG): 'notri' keeps row "
+                         "loads, drops the MT math; 'noload' keeps the "
+                         "math, drops the loads")
     args = ap.parse_args()
 
     if (args.tile_rows is not None or args.super_ is not None
-            or args.box_batch is not None):
+            or args.box_batch is not None or args.ablation is not None):
         from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import (
             mesh_kernel,
         )
@@ -78,6 +86,8 @@ def main():
             mesh_kernel.SUPER = args.super_
         if args.box_batch is not None:
             mesh_kernel.BATCH = args.box_batch
+        if args.ablation is not None:
+            mesh_kernel.ABLATION = args.ablation
 
     from cosc_4397_pathtracing_raytracing_project_tpu import RenderConfig
     from cosc_4397_pathtracing_raytracing_project_tpu.ops import fast
@@ -125,9 +135,18 @@ def main():
         )
     else:
         cluster = make_mesh_intersector(scene)
+    sampler = None
+    if args.nee:
+        from cosc_4397_pathtracing_raytracing_project_tpu.ops.lights import (
+            make_light_sampler,
+        )
+
+        sampler = make_light_sampler(scene)
+        assert sampler is not None, "scene has no analytic emitter"
     cfg = RenderConfig(
         trace_depth=args.depth,
         sky_strength=1.0,
+        nee=args.nee,
         mesh_ray_sort=not args.no_sort,
         mesh_sort_every=args.sort_every,
         mesh_sort_fused=args.fused_sort,
@@ -136,15 +155,23 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("k",))
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas.mesh_kernel import (
+        JIT_COMPILER_OPTIONS,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("k",),
+                       compiler_options=JIT_COMPILER_OPTIONS)
     def run(scene, key, iteration, k):
         def body(i, acc):
             return acc + fast.trace_sample_mesh(
-                scene, cfg, key, iteration + i, cluster
+                scene, cfg, key, iteration + i, cluster,
+                light_sampler=sampler,
             )
         acc0 = jnp.zeros((scene.camera.pixel_count, 3), jnp.float32)
         if k == 1:
-            return acc0 + fast.trace_sample_mesh(scene, cfg, key, iteration, cluster)
+            return acc0 + fast.trace_sample_mesh(
+                scene, cfg, key, iteration, cluster, light_sampler=sampler
+            )
         return jax.lax.fori_loop(0, k, body, acc0)
 
     key = jax.random.PRNGKey(0)
@@ -170,6 +197,7 @@ def main():
             "sort": not args.no_sort,
             "cluster": args.cluster,
             "batch": args.batch,
+            "nee": args.nee,
         }
     )
 

@@ -173,3 +173,62 @@ def test_mesh_pipeline_dof(tri_scene, cluster):
         tri_scene, RenderConfig(trace_depth=3), key, jnp.int32(1), cluster
     )
     np.testing.assert_array_equal(a, np.asarray(pin2))
+
+
+def test_mesh_nee_sort_invariant(tri_scene, cluster):
+    """NEE on the mesh pipeline: the per-bounce resort must stay
+    image-invariant (pixel-keyed hash NEE uniforms + the prev_pdf MIS
+    register riding both sort paths), and fused vs gather sorts must pick
+    identical permutations with the extra payload."""
+    import dataclasses
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.lights import (
+        make_light_sampler,
+    )
+
+    sampler = make_light_sampler(tri_scene)
+    assert sampler is not None  # the fixture's emissive cube
+    key = jax.random.PRNGKey(7)
+    base = RenderConfig(trace_depth=4, nee=True, mesh_ray_sort=True,
+                        mesh_sort_fused=True)
+    a = fast.trace_sample_mesh(tri_scene, base, key, jnp.int32(1), cluster,
+                               light_sampler=sampler)
+    b = fast.trace_sample_mesh(
+        tri_scene, dataclasses.replace(base, mesh_ray_sort=False), key,
+        jnp.int32(1), cluster, light_sampler=sampler)
+    c = fast.trace_sample_mesh(
+        tri_scene, dataclasses.replace(base, mesh_sort_fused=False), key,
+        jnp.int32(1), cluster, light_sampler=sampler)
+    a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(a, c, rtol=1e-6, atol=1e-7)
+    # NEE actually engages: the direct-light term changes the 1-spp image
+    plain = np.asarray(fast.trace_sample_mesh(
+        tri_scene, RenderConfig(trace_depth=4), key, jnp.int32(1), cluster))
+    assert np.abs(a - plain).mean() > 1e-5
+
+
+@pytest.mark.slow  # 2 x 12 eager interpret-mode renders
+def test_mesh_nee_mean_agrees(tri_scene, cluster):
+    """Unbiasedness pin: the mesh NEE estimator's mean matches the plain
+    BRDF estimator on the same scene (different variance, same target)."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.lights import (
+        make_light_sampler,
+    )
+
+    sampler = make_light_sampler(tri_scene)
+    key = jax.random.PRNGKey(0)
+    n_samples = 12
+    cfg_nee = RenderConfig(trace_depth=4, nee=True)
+    cfg_plain = RenderConfig(trace_depth=4)
+    acc_nee = jnp.zeros((tri_scene.camera.pixel_count, 3))
+    acc_plain = jnp.zeros_like(acc_nee)
+    for i in range(n_samples):
+        acc_nee = acc_nee + fast.trace_sample_mesh(
+            tri_scene, cfg_nee, key, jnp.int32(1 + i), cluster,
+            light_sampler=sampler)
+        acc_plain = acc_plain + fast.trace_sample_mesh(
+            tri_scene, cfg_plain, key, jnp.int32(1 + i), cluster)
+    a = np.asarray(acc_nee).mean() / n_samples
+    b = np.asarray(acc_plain).mean() / n_samples
+    assert abs(a - b) / max(b, 1e-9) < 0.12
