@@ -245,3 +245,81 @@ def test_sharded_megakernel_nee_matches_single_device():
     step1 = make_sharded_pallas_step(scene, cfg, num_samples, mesh1, interpret=True)
     out1 = step1(scene, state)
     np.testing.assert_array_equal(np.asarray(out1.accum), single)
+
+
+@pytest.mark.slow  # second interpret-mode sharded mesh compile
+def test_sharded_mesh_dof_nee_matches_single_device(tri_scene):
+    """DOF + NEE composed under shard_map on the mesh pipeline: the lens
+    uniforms and the NEE uniforms are both PIXEL-keyed, and the prev_pdf
+    MIS register rides the sort payloads, so dp slices must reproduce the
+    single-device render to float reassociation."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.parallel import (
+        make_sharded_mesh_step,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops import fast
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.lights import (
+        make_light_sampler,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.render.engine import (
+        make_mesh_intersector,
+    )
+
+    cam = tri_scene.camera.replace(
+        aperture=jnp.float32(0.5), focal=jnp.float32(6.0)
+    )
+    scene = tri_scene.replace(camera=cam)
+    cfg = RenderConfig(trace_depth=3, sky_strength=0.5, dof=True, nee=True)
+    num_samples = 2
+    state = RenderState.create(scene.camera.pixel_count, seed=0)
+
+    cluster = make_mesh_intersector(scene, interpret=True)
+    sampler = make_light_sampler(scene)
+    single = jnp.zeros((scene.camera.pixel_count, 3))
+    for i in range(num_samples):
+        single = single + fast.trace_sample_mesh(
+            scene, cfg, state.key, state.iteration + 1 + i, cluster,
+            light_sampler=sampler,
+        )
+    single = np.asarray(single)
+    assert np.isfinite(single).all()
+
+    mesh = make_mesh(4, sample_parallel=1, devices=jax.devices()[:4])
+    step = make_sharded_mesh_step(scene, cfg, num_samples, mesh, interpret=True)
+    out = step(scene, state)
+    np.testing.assert_allclose(
+        np.asarray(out.accum), single, rtol=3e-7, atol=1e-7
+    )
+
+
+@pytest.mark.slow  # two interpret-mode megakernel compiles
+def test_sharded_megakernel_dof_matches_single_device():
+    """Thin-lens DOF under shard_map: the lens draws come from the per-
+    (seed, iter, tile) camera stream (0xD0F seed mix), which keys on the
+    GLOBAL tile id — a TILE-aligned dp=4 shard must be bit-identical to
+    the single-device DOF render."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import megakernel
+    from cosc_4397_pathtracing_raytracing_project_tpu.parallel import (
+        make_sharded_pallas_step,
+    )
+
+    desc = parse_scene(CORNELL_SMALL)
+    desc.camera.resolution = (128, 64)  # 8192 px: dp=4 → exactly 1 TILE/shard
+    desc.camera.aperture = 0.6
+    scene = Scene.from_desc(desc)
+    cfg = RenderConfig(trace_depth=3, dof=True)
+    state = RenderState.create(scene.camera.pixel_count, seed=0)
+    seed = (state.key.reshape(-1)[-1].astype(jnp.uint32)).astype(jnp.int32)
+    num_samples = 2
+
+    single = np.asarray(
+        megakernel.render_samples(
+            scene, cfg, seed, state.iteration + 1, num_samples, interpret=True
+        )
+    )
+    assert np.isfinite(single).all() and single.max() > 0
+
+    mesh1 = make_mesh(4, sample_parallel=1, devices=jax.devices()[:4])
+    step1 = make_sharded_pallas_step(scene, cfg, num_samples, mesh1, interpret=True)
+    out1 = step1(scene, state)
+    assert int(out1.iteration) == num_samples
+    np.testing.assert_array_equal(np.asarray(out1.accum), single)
