@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Uniform lanes drawn per path per bounce, by role. The reference draws up to
 # five u01 samples per thread per bounce (`pathtrace.cu:368-436`): Russian
@@ -41,6 +42,33 @@ def bounce_uniforms(base_key: jax.Array, iteration, depth, n: int) -> jax.Array:
     )
 
 
+def _hash_seed(base_key: jax.Array, iteration, depth) -> jax.Array:
+    """Scalar uint32 seed for one (render key, iteration, depth) triple.
+
+    Injective (iteration, depth) -> counter for depth < 32, iteration < 2^27
+    (a 5000-spp render uses < 2^13 iterations), pushed through the full
+    murmur3 fmix32 finalizer (a bijection): no two (iteration, depth) pairs
+    can share a seed, so the frame-wide duplicated-uniform-block collisions
+    of the old single multiply-xor round cannot occur at all."""
+    kd = jax.random.key_data(base_key).reshape(-1)[-1].astype(jnp.uint32)
+    ctr = (jnp.asarray(iteration).astype(jnp.uint32) << jnp.uint32(5)) | (
+        jnp.asarray(depth).astype(jnp.uint32) & jnp.uint32(31)
+    )
+    x = ctr ^ (kd * jnp.uint32(0x9E3779B9))
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+    return x ^ (x >> jnp.uint32(16))
+
+
+def _hash_u01(seed: jax.Array, p: jax.Array, lane: int) -> jax.Array:
+    """One pixel-keyed u01 lane: avalanche of ``p ^ (seed + lane·phi)``."""
+    x = p ^ (seed + jnp.uint32(lane) * jnp.uint32(0x9E3779B9))
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
 def hash_bounce_uniforms(
     base_key: jax.Array, iteration, depth, pixel_ids: jax.Array
 ) -> jax.Array:
@@ -54,28 +82,9 @@ def hash_bounce_uniforms(
     avalanche used by the Pallas megakernel's interpret-mode PRNG
     (ops.pallas.megakernel._HashPrng); the reference's analog is its
     utilhash-seeded thrust engine (`src/pathtrace.cu:203-207`)."""
-    kd = jax.random.key_data(base_key).reshape(-1)[-1].astype(jnp.uint32)
-    # Injective (iteration, depth) -> counter for depth < 32, iteration < 2^27
-    # (a 5000-spp render uses < 2^13 iterations), pushed through the full
-    # murmur3 fmix32 finalizer (a bijection): no two (iteration, depth) pairs
-    # can share a seed, so the frame-wide duplicated-uniform-block collisions
-    # of the old single multiply-xor round cannot occur at all.
-    ctr = (jnp.asarray(iteration).astype(jnp.uint32) << jnp.uint32(5)) | (
-        jnp.asarray(depth).astype(jnp.uint32) & jnp.uint32(31)
-    )
-    x = ctr ^ (kd * jnp.uint32(0x9E3779B9))
-    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
-    x = (x ^ (x >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
-    seed = x ^ (x >> jnp.uint32(16))
+    seed = _hash_seed(base_key, iteration, depth)
     p = pixel_ids.astype(jnp.uint32)
-    us = []
-    for lane in range(NUM_LANES):
-        x = p ^ (seed + jnp.uint32(lane) * jnp.uint32(0x9E3779B9))
-        x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
-        x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
-        x = x ^ (x >> jnp.uint32(16))
-        us.append((x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24))
-    return jnp.stack(us)
+    return jnp.stack([_hash_u01(seed, p, lane) for lane in range(NUM_LANES)])
 
 
 def hash_nee_uniforms(
@@ -86,25 +95,12 @@ def hash_nee_uniforms(
     resorts rays per bounce, so lane-indexed draws would violate the
     pixel-keyed-RNG invariant that makes sorting image-invariant). Uses
     hash lanes NUM_LANES..NUM_LANES+2, disjoint from the bounce draws."""
-    kd = jax.random.key_data(base_key).reshape(-1)[-1].astype(jnp.uint32)
-    ctr = (jnp.asarray(iteration).astype(jnp.uint32) << jnp.uint32(5)) | (
-        jnp.asarray(depth).astype(jnp.uint32) & jnp.uint32(31)
-    )
-    x = ctr ^ (kd * jnp.uint32(0x9E3779B9))
-    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
-    x = (x ^ (x >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
-    seed = x ^ (x >> jnp.uint32(16))
+    seed = _hash_seed(base_key, iteration, depth)
     p = pixel_ids.astype(jnp.uint32)
-    us = []
-    for lane in range(NUM_LANES, NUM_LANES + 3):
-        x = p ^ (seed + jnp.uint32(lane) * jnp.uint32(0x9E3779B9))
-        x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
-        x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
-        x = x ^ (x >> jnp.uint32(16))
-        us.append(
-            (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
-        )
-    return jnp.stack(us, axis=-1)
+    return jnp.stack(
+        [_hash_u01(seed, p, lane) for lane in range(NUM_LANES, NUM_LANES + 3)],
+        axis=-1,
+    )
 
 
 def nee_uniforms(base_key: jax.Array, iteration, depth, n: int) -> jax.Array:
@@ -120,6 +116,172 @@ def pixel_jitter(base_key: jax.Array, iteration, n: int) -> jax.Array:
     generates rays through pixel corners with no jitter, `pathtrace.cu:278-282`)."""
     key = jax.random.fold_in(jax.random.fold_in(base_key, iteration), 0x7EA)
     return jax.random.uniform(key, (n, 2), jnp.float32)
+
+
+# ── Low-discrepancy sampler (extension; RenderConfig.sampler='sobol') ──────
+#
+# Per-pixel digitally-shifted Sobol (0,2)-sequences for the estimator's most
+# variance-critical dimensions (sub-pixel AA, lens disk, first-bounce BSDF,
+# first-bounce NEE). Design is TPU-shaped: the two Sobol components are pure
+# bit functions of the SCALAR sample index (computable on the scalar unit /
+# hoisted per sample), and the per-pixel decorrelation is a digital (XOR)
+# shift against a per-(pixel, dimension, seed) hash lattice — one XOR + one
+# convert per draw on the vector unit, cheaper than a PRNG draw. The XOR
+# shift preserves each pair's elementary-interval stratification exactly
+# (digital Cranley-Patterson), keeps every marginal uniform (so the
+# estimator mean is unchanged — only variance drops), decorrelates pixels
+# (LD error turns into spatial noise, no structured aliasing) and
+# decorrelates dimension pairs that reuse the same (0,2) pair.
+#
+# The reference has no counterpart (its thrust engines are independent per
+# (iter, pixel, depth), `src/pathtrace.cu:203-207`): this is the estimator
+# extension that makes equal-spp renders converge faster, composing with NEE.
+
+SOBOL_NBITS = 21  # supports 2^21 (~2M) sample indices before wrap
+
+# Digital-shift dimension tags (each tag owns one per-pixel shift lattice).
+LD_AA_X, LD_AA_Y = 0, 1
+LD_LENS_U, LD_LENS_V = 2, 3
+LD_BRANCH = 4
+LD_BSDF_U, LD_BSDF_V = 5, 6
+LD_PICK = 7
+LD_NEE_U, LD_NEE_V = 8, 9
+
+
+def _sobol_directions(nbits: int = SOBOL_NBITS) -> np.ndarray:
+    """``[2, nbits]`` uint32 direction numbers for Sobol dims 1-2.
+
+    Dim 0 is the van der Corput identity (v_k = 2^(31-k)); dim 1 follows the
+    primitive polynomial x+1 (s=1): m_k = 2·m_{k-1} XOR m_{k-1}. Together
+    they form the classic (0,2)-sequence in base 2 (t=0), verified by the
+    elementary-interval tests in tests/test_render.py::TestSobol."""
+    v0 = [np.uint32(1) << (31 - k) for k in range(nbits)]
+    m = [1]
+    for k in range(1, nbits):
+        prev = m[k - 1]
+        m.append((prev << 1) ^ prev)
+    v1 = [np.uint32(m[k]) << (31 - k) for k in range(nbits)]
+    return np.array([v0, v1], dtype=np.uint32)
+
+
+_SOBOL_DIR = _sobol_directions()
+
+
+def sobol_pair(index) -> tuple:
+    """The (0,2)-sequence point for a scalar sample index, as two uint32.
+
+    Pure bit math on the index — traced-scalar friendly (the Pallas
+    megakernel evaluates the same expression on its scalar unit). Component
+    0 is the radical inverse (bit reversal); component 1 XORs direction
+    numbers for set index bits. Bits ≥ SOBOL_NBITS are ignored (indices wrap
+    past 2^21 — far beyond any configured sample count)."""
+    n = jnp.asarray(index).astype(jnp.uint32)
+    x0 = jnp.uint32(0)
+    x1 = jnp.uint32(0)
+    for k in range(SOBOL_NBITS):
+        bit = (n >> jnp.uint32(k)) & jnp.uint32(1)
+        # multiply-by-bit instead of select: lowers on scalar units
+        x0 = x0 ^ (bit * jnp.uint32(_SOBOL_DIR[0, k]))
+        x1 = x1 ^ (bit * jnp.uint32(_SOBOL_DIR[1, k]))
+    return x0, x1
+
+
+def ld_shift(base_key: jax.Array, pixel_ids: jax.Array, tag: int) -> jax.Array:
+    """Per-(pixel, dimension-tag, seed) uint32 digital-shift lattice.
+
+    Same murmur-style avalanche family as :func:`hash_bounce_uniforms`, on
+    its own tag space (0x5D prefix) so LD shifts never collide with the
+    bounce/NEE hash streams."""
+    kd = jax.random.key_data(base_key).reshape(-1)[-1].astype(jnp.uint32)
+    seed = (jnp.uint32(0x5D000000) + jnp.uint32(tag)) ^ (
+        kd * jnp.uint32(0x9E3779B9)
+    )
+    x = pixel_ids.astype(jnp.uint32) ^ seed
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> jnp.uint32(16))
+
+
+def ld_u01(sobol_bits, shift: jax.Array) -> jax.Array:
+    """Digitally-shifted Sobol bits → float32 in [0, 1)."""
+    x = (jnp.asarray(sobol_bits, jnp.uint32) ^ shift) >> jnp.uint32(8)
+    return x.astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
+def ld_uniform_pair(
+    base_key: jax.Array, iteration, pixel_ids: jax.Array, tag_u: int, tag_v: int
+) -> tuple:
+    """Convenience: the per-pixel shifted (0,2) pair for one dimension pair."""
+    s0, s1 = sobol_pair(iteration)
+    return (
+        ld_u01(s0, ld_shift(base_key, pixel_ids, tag_u)),
+        ld_u01(s1, ld_shift(base_key, pixel_ids, tag_v)),
+    )
+
+
+def ld_pixel_jitter(
+    base_key: jax.Array, iteration, pixel_ids: jax.Array
+) -> jax.Array:
+    """``[n, 2]`` LD sub-pixel jitter — the ``sampler='sobol'`` twin of
+    :func:`pixel_jitter`, keyed by PIXEL id (shard slices and block orders
+    see the same jitter a full-frame render would)."""
+    u, v = ld_uniform_pair(base_key, iteration, pixel_ids, LD_AA_X, LD_AA_Y)
+    return jnp.stack([u, v], axis=1)
+
+
+def ld_lens_uniforms(
+    base_key: jax.Array, iteration, pixel_ids: jax.Array
+) -> jax.Array:
+    """``[n, 2]`` LD lens-disk uniforms — the ``sampler='sobol'`` twin of
+    :func:`lens_uniforms` (pixel-keyed, own shift lattice)."""
+    u, v = ld_uniform_pair(base_key, iteration, pixel_ids, LD_LENS_U, LD_LENS_V)
+    return jnp.stack([u, v], axis=1)
+
+
+def ld_bounce0_uniforms(
+    base_key: jax.Array, iteration, pixel_ids: jax.Array
+) -> jax.Array:
+    """``[NUM_LANES, n]`` first-bounce uniforms for ``sampler='sobol'``.
+
+    The variance-critical lanes are LD: the specular/diffuse branch draw
+    (shifted van der Corput) and the two hemisphere-direction draws (the
+    shifted (0,2) pair — first-bounce cosine directions stratify over the
+    hemisphere, the classic largest single QMC win in a diffuse box).
+    RR and the cone-azimuth lane stay on the counter-hash stream
+    (:func:`hash_bounce_uniforms` lanes 0/4 at depth 0): RR is closed
+    before ``rr_start_depth`` anyway, and mixing hash lanes keeps the
+    padded-sampler independence argument trivial. Deeper bounces always
+    use the hash — LD past the first vertex needs path-space dimension
+    bookkeeping that buys little once RR decorrelates path lengths."""
+    seed = _hash_seed(base_key, iteration, 0)
+    p = pixel_ids.astype(jnp.uint32)
+    s0, s1 = sobol_pair(iteration)
+    return jnp.stack(
+        [
+            _hash_u01(seed, p, U_RR),
+            ld_u01(s0, ld_shift(base_key, pixel_ids, LD_BRANCH)),
+            ld_u01(s0, ld_shift(base_key, pixel_ids, LD_BSDF_U)),
+            ld_u01(s1, ld_shift(base_key, pixel_ids, LD_BSDF_V)),
+            _hash_u01(seed, p, U_C),
+        ]
+    )
+
+
+def ld_nee0_uniforms(
+    base_key: jax.Array, iteration, pixel_ids: jax.Array
+) -> jax.Array:
+    """``[n, 3]`` first-bounce NEE uniforms for ``sampler='sobol'``:
+    light pick (shifted van der Corput) + the light-surface (0,2) pair.
+    Layout matches :func:`nee_uniforms` / :func:`hash_nee_uniforms`."""
+    s0, s1 = sobol_pair(iteration)
+    return jnp.stack(
+        [
+            ld_u01(s0, ld_shift(base_key, pixel_ids, LD_PICK)),
+            ld_u01(s0, ld_shift(base_key, pixel_ids, LD_NEE_U)),
+            ld_u01(s1, ld_shift(base_key, pixel_ids, LD_NEE_V)),
+        ],
+        axis=-1,
+    )
 
 
 def lens_uniforms(base_key: jax.Array, iteration, n: int) -> jax.Array:

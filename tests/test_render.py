@@ -232,3 +232,79 @@ def test_trace_sample_shapes(small_desc):
     color = trace_sample(scene, RenderConfig(trace_depth=4), key, jnp.int32(1))
     assert color.shape == (64 * 64, 3)
     assert np.isfinite(np.asarray(color)).all()
+
+
+class TestSobol:
+    """Low-discrepancy sampler construction (ops/rng.py sobol_* / ld_*).
+
+    Validates the (0,2)-sequence property the variance argument rests on,
+    the digital-shift invariances, and the bit-compat contract with the
+    counter-hash lanes the LD bounce block mixes in."""
+
+    def test_elementary_interval_stratification(self):
+        # First 16 shifted points for one pixel must put exactly one point
+        # in every cell of EVERY base-2 elementary grid of volume 1/16 —
+        # the defining (0,2) property, preserved by the XOR shift.
+        from cosc_4397_pathtracing_raytracing_project_tpu.ops import rng
+
+        key = jax.random.key(3)
+        pix = jnp.zeros((1,), jnp.uint32)
+        pts = [
+            rng.ld_uniform_pair(key, i, pix, rng.LD_BSDF_U, rng.LD_BSDF_V)
+            for i in range(16)
+        ]
+        us = np.array([float(u[0]) for u, _ in pts])
+        vs = np.array([float(v[0]) for _, v in pts])
+        for a, b in [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]:
+            cells = set(zip((us * a).astype(int), (vs * b).astype(int)))
+            assert len(cells) == 16, (a, b, sorted(cells))
+
+    def test_unshifted_sequence_matches_radical_inverse(self):
+        # Component 0 is the van der Corput radical inverse: index 1 -> 0.5,
+        # 2 -> 0.25, 3 -> 0.75, ...
+        from cosc_4397_pathtracing_raytracing_project_tpu.ops import rng
+
+        for idx, want in [(0, 0.0), (1, 0.5), (2, 0.25), (3, 0.75), (4, 0.125)]:
+            s0, _ = rng.sobol_pair(idx)
+            got = float(np.uint32(s0)) / 2.0**32
+            assert abs(got - want) < 1e-9, (idx, got, want)
+
+    def test_marginals_uniform_across_pixels(self):
+        # At a fixed sample index, the per-pixel shift lattice alone must
+        # give uniform marginals (the estimator-unbiasedness requirement).
+        from cosc_4397_pathtracing_raytracing_project_tpu.ops import rng
+
+        key = jax.random.key(11)
+        pix = jnp.arange(65536, dtype=jnp.uint32)
+        u, v = rng.ld_uniform_pair(key, 9, pix, rng.LD_NEE_U, rng.LD_NEE_V)
+        for x in (np.asarray(u), np.asarray(v)):
+            assert 0.0 <= x.min() and x.max() < 1.0
+            assert abs(x.mean() - 0.5) < 0.01
+            # crude KS bound: max CDF deviation on a 16-bin histogram
+            h = np.histogram(x, bins=16, range=(0, 1))[0] / x.size
+            assert np.abs(np.cumsum(h) - np.linspace(1 / 16, 1, 16)).max() < 0.02
+
+    def test_pixels_decorrelated(self):
+        # Adjacent pixels must not share a shift (no structured aliasing).
+        from cosc_4397_pathtracing_raytracing_project_tpu.ops import rng
+
+        key = jax.random.key(0)
+        pix = jnp.arange(4096, dtype=jnp.uint32)
+        s = np.asarray(rng.ld_shift(key, pix, rng.LD_AA_X))
+        assert np.unique(s).size == s.size
+
+    def test_bounce0_hash_lanes_bitmatch(self):
+        # The RR and cone-azimuth lanes of the LD bounce block are pinned to
+        # the counter-hash stream at depth 0 — switching sampler must not
+        # perturb them (keeps RR behavior identical between samplers).
+        from cosc_4397_pathtracing_raytracing_project_tpu.ops import rng
+
+        key = jax.random.key(42)
+        pix = jnp.arange(512, dtype=jnp.uint32)
+        ld = rng.ld_bounce0_uniforms(key, 7, pix)
+        h = rng.hash_bounce_uniforms(key, 7, 0, pix)
+        assert ld.shape == h.shape
+        assert bool(jnp.all(ld[rng.U_RR] == h[rng.U_RR]))
+        assert bool(jnp.all(ld[rng.U_C] == h[rng.U_C]))
+        # and the LD lanes are NOT the hash lanes (they actually switched)
+        assert not bool(jnp.all(ld[rng.U_A] == h[rng.U_A]))
