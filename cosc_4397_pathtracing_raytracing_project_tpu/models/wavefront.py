@@ -50,14 +50,24 @@ def trace_sample_wavefront(
     cam = scene.camera
     n = cam.pixel_count
 
-    jitter = (
-        rng_ops.pixel_jitter(base_key, iteration, n) if config.antialias else None
-    )
-    lens = (
-        rng_ops.lens_uniforms(base_key, iteration, n)
-        if getattr(config, "dof", False)
-        else None
-    )
+    # sampler='sobol': pixel-keyed LD draws on the first-vertex dimensions.
+    # LD uniforms ride the same pixel_index gather as the threefry rows, so
+    # compaction reorders stay image-invariant under either sampler.
+    use_ld = getattr(config, "sampler", "independent") == "sobol"
+    pix_ids = jnp.arange(n, dtype=jnp.int32)
+    jitter = lens = None
+    if config.antialias:
+        jitter = (
+            rng_ops.ld_pixel_jitter(base_key, iteration, pix_ids)
+            if use_ld
+            else rng_ops.pixel_jitter(base_key, iteration, n)
+        )
+    if getattr(config, "dof", False):
+        lens = (
+            rng_ops.ld_lens_uniforms(base_key, iteration, pix_ids)
+            if use_ld
+            else rng_ops.lens_uniforms(base_key, iteration, n)
+        )
     origins, directions = camera_ops.generate_rays(cam, jitter, lens=lens)
     paths = PathState(
         origin=origins,
@@ -76,9 +86,13 @@ def trace_sample_wavefront(
             jnp.take(radiance, perm, axis=0),
         )
 
-    def bounce(carry, depth):
+    def bounce(carry, depth, u_all=None):
         paths, pixel_index, radiance = carry
-        uniforms_all = rng_ops.bounce_uniforms(base_key, iteration, depth, n)
+        uniforms_all = (
+            u_all
+            if u_all is not None
+            else rng_ops.bounce_uniforms(base_key, iteration, depth, n)
+        )
         # RNG is keyed by *pixel*, not lane, so reordering does not change
         # which numbers a path sees (replayability under compaction — this is
         # what the reference's broken material sort got wrong by reseeding
@@ -109,10 +123,21 @@ def trace_sample_wavefront(
             )
         return (paths, pixel_index, radiance), None
 
+    carry0 = (paths, pixel_index, radiance)
+    start = 0
+    if use_ld:
+        # bounce 0 unrolled: LD rows indexed by pixel id (identity gather
+        # here — the first permutation happens after this shade)
+        carry0, _ = bounce(
+            carry0,
+            jnp.int32(0),
+            u_all=rng_ops.ld_bounce0_uniforms(base_key, iteration, pix_ids).T,
+        )
+        start = 1
     (paths, pixel_index, radiance), _ = jax.lax.scan(
         bounce,
-        (paths, pixel_index, radiance),
-        jnp.arange(config.trace_depth, dtype=jnp.int32),
+        carry0,
+        jnp.arange(start, config.trace_depth, dtype=jnp.int32),
     )
 
     values = paths.color if config.gather_mode == "throughput" else radiance

@@ -313,11 +313,20 @@ def trace_sample_fast(
             "(ops.lights.make_light_sampler on the concrete scene)"
         )
 
+    # sampler='sobol': first-vertex dimensions draw per-pixel shifted
+    # (0,2)-sequence points, keyed by GLOBAL pixel id (shard slices see the
+    # same stream a full-frame render would); deeper bounces stay threefry.
+    use_ld = getattr(config, "sampler", "independent") == "sobol"
+
     idx = pixel_offset + jnp.arange(n, dtype=jnp.int32)
     px = (idx % w).astype(jnp.float32)
     py = (idx // w).astype(jnp.float32)
     if config.antialias:
-        jit2 = rng_ops.pixel_jitter(base_key, iteration, n)
+        jit2 = (
+            rng_ops.ld_pixel_jitter(base_key, iteration, idx)
+            if use_ld
+            else rng_ops.pixel_jitter(base_key, iteration, n)
+        )
         px = px + jit2[:, 0]
         py = py + jit2[:, 1]
     sx = cam.pixel_length[0] * (px - 0.5 * w)
@@ -331,7 +340,11 @@ def trace_sample_fast(
     oy = jnp.broadcast_to(cam.position[1], (n,))
     oz = jnp.broadcast_to(cam.position[2], (n,))
     if getattr(config, "dof", False):
-        lens2 = rng_ops.lens_uniforms(base_key, iteration, n)
+        lens2 = (
+            rng_ops.ld_lens_uniforms(base_key, iteration, idx)
+            if use_ld
+            else rng_ops.lens_uniforms(base_key, iteration, n)
+        )
         ox, oy, oz, dx, dy, dz = _thin_lens_soa(
             cam, ox, oy, oz, dx, dy, dz, lens2[:, 0], lens2[:, 1]
         )
@@ -349,10 +362,11 @@ def trace_sample_fast(
         # primary), for the next emissive hit's MIS weight
         carry = carry + (jnp.full((n,), -1.0, jnp.float32),)
 
-    def bounce(carry, depth):
+    def bounce(carry, depth, u=None, nee_u=None):
         (ox, oy, oz, dx, dy, dz) = carry[:6]
-        key = rng_ops.bounce_key(base_key, iteration, depth)
-        u = jax.random.uniform(key, (rng_ops.NUM_LANES, n), jnp.float32)
+        if u is None:
+            key = rng_ops.bounce_key(base_key, iteration, depth)
+            u = jax.random.uniform(key, (rng_ops.NUM_LANES, n), jnp.float32)
         best = intersect_unrolled(scene, ox, oy, oz, dx, dy, dz)
         nee = None
         if use_nee:
@@ -361,14 +375,31 @@ def trace_sample_fast(
                 lambda sx, sy, sz, wx, wy, wz: intersect_unrolled(
                     scene, sx, sy, sz, wx, wy, wz
                 ).t,
-                rng_ops.nee_uniforms(base_key, iteration, depth, n),
+                nee_u
+                if nee_u is not None
+                else rng_ops.nee_uniforms(base_key, iteration, depth, n),
             )
         return shade_soa(
             carry, best, u, scene.materials, depth, config, nee=nee
         ), None
 
+    start = 0
+    if use_ld:
+        # bounce 0 unrolled out of the scan: LD uniforms are a static
+        # branch, depth is traced inside the scan
+        carry, _ = bounce(
+            carry,
+            jnp.int32(0),
+            u=rng_ops.ld_bounce0_uniforms(base_key, iteration, idx),
+            nee_u=(
+                rng_ops.ld_nee0_uniforms(base_key, iteration, idx)
+                if use_nee
+                else None
+            ),
+        )
+        start = 1
     carry, _ = jax.lax.scan(
-        bounce, carry, jnp.arange(config.trace_depth, dtype=jnp.int32)
+        bounce, carry, jnp.arange(start, config.trace_depth, dtype=jnp.int32)
     )
     (_, _, _, _, _, _, cr, cg, cb, _, rr_, rg_, rb_) = carry[:13]
     if legacy:
@@ -702,16 +733,23 @@ def trace_sample_mesh(
         idx = pixel_offset + local
     px = (idx % w).astype(jnp.float32)
     py = (idx // w).astype(jnp.float32)
+    # sampler='sobol': LD draws are pixel-keyed hashes of the GLOBAL id
+    # already — no full-frame generate+gather needed, any ray order or
+    # shard slice reads its own lattice rows directly.
+    use_ld = getattr(config, "sampler", "independent") == "sobol"
     if config.antialias:
-        # jitter is PIXEL-keyed: generate the full frame's rows and gather
-        # by global pixel id whenever ray i ≠ pixel i (block order or a dp
-        # shard slice) — lane-position rows would repeat the same jitter
-        # pattern in every shard. Full-frame direct indexing skips the
-        # identity gather.
-        direct = not blocked and num_pixels is None
-        jit2 = rng_ops.pixel_jitter(base_key, iteration, w * h)
-        if not direct:
-            jit2 = jnp.take(jit2, idx, axis=0)
+        if use_ld:
+            jit2 = rng_ops.ld_pixel_jitter(base_key, iteration, idx)
+        else:
+            # jitter is PIXEL-keyed: generate the full frame's rows and
+            # gather by global pixel id whenever ray i ≠ pixel i (block
+            # order or a dp shard slice) — lane-position rows would repeat
+            # the same jitter pattern in every shard. Full-frame direct
+            # indexing skips the identity gather.
+            direct = not blocked and num_pixels is None
+            jit2 = rng_ops.pixel_jitter(base_key, iteration, w * h)
+            if not direct:
+                jit2 = jnp.take(jit2, idx, axis=0)
         px = px + jit2[:, 0]
         py = py + jit2[:, 1]
     sx = cam.pixel_length[0] * (px - 0.5 * w)
@@ -725,12 +763,15 @@ def trace_sample_mesh(
     oy = jnp.broadcast_to(cam.position[1], (n,))
     oz = jnp.broadcast_to(cam.position[2], (n,))
     if getattr(config, "dof", False):
-        # PIXEL-keyed like the jitter above: block order / shard slices get
-        # the same lens sample for a given pixel as a full-frame render
-        direct = not blocked and num_pixels is None
-        lens2 = rng_ops.lens_uniforms(base_key, iteration, w * h)
-        if not direct:
-            lens2 = jnp.take(lens2, idx, axis=0)
+        if use_ld:
+            lens2 = rng_ops.ld_lens_uniforms(base_key, iteration, idx)
+        else:
+            # PIXEL-keyed like the jitter above: block order / shard slices
+            # get the same lens sample for a pixel as a full-frame render
+            direct = not blocked and num_pixels is None
+            lens2 = rng_ops.lens_uniforms(base_key, iteration, w * h)
+            if not direct:
+                lens2 = jnp.take(lens2, idx, axis=0)
         ox, oy, oz, dx, dy, dz = _thin_lens_soa(
             cam, ox, oy, oz, dx, dy, dz, lens2[:, 0], lens2[:, 1]
         )
@@ -866,15 +907,19 @@ def trace_sample_mesh(
             )
         return best
 
-    def bounce_at(carry, pixel, depth, sort: bool):
+    def bounce_at(carry, pixel, depth, sort: bool, ld: bool = False):
         if sort:
             carry, pixel = sort_rays(carry, pixel)
         (ox, oy, oz, dx, dy, dz, _cr, _cg, _cb, bounces, *_rest) = carry
         # Pixel-keyed hash uniforms: the RNG stream follows the PIXEL id
         # through any reorder (the project's pixel-keyed-RNG invariant), and
         # costs no gather — threefry + a [lanes, n] take was ~70 ms/bounce
-        # at 2M rays.
-        u = rng_ops.hash_bounce_uniforms(base_key, iteration, depth, pixel)
+        # at 2M rays. The LD lattice (sampler='sobol', bounce 0 only) is
+        # pixel-keyed the same way, so the invariant holds under it too.
+        if ld:
+            u = rng_ops.ld_bounce0_uniforms(base_key, iteration, pixel)
+        else:
+            u = rng_ops.hash_bounce_uniforms(base_key, iteration, depth, pixel)
         # Dead-lane culling changes what dead lanes "see" (miss instead of a
         # stale hit) — irrelevant in light_only (dead lanes accumulate
         # nothing) but it would re-trigger legacy's sky re-multiplication,
@@ -905,8 +950,10 @@ def trace_sample_mesh(
                 shadow_t,
                 # PIXEL-keyed like the bounce uniforms: the per-bounce
                 # resort must stay image-invariant with NEE on
-                rng_ops.hash_nee_uniforms(base_key, iteration, depth,
-                                          pixel),
+                rng_ops.ld_nee0_uniforms(base_key, iteration, pixel)
+                if ld
+                else rng_ops.hash_nee_uniforms(base_key, iteration, depth,
+                                               pixel),
             )
         return shade_soa(
             carry, best, u, scene.materials, depth, config, nee=nee
@@ -915,7 +962,8 @@ def trace_sample_mesh(
     # Primary rays are coherent by construction (block order, or scanline
     # order otherwise): bounce 0 skips the sort (one argsort + one [N, 14]
     # row gather saved per sample).
-    carry, pixel = bounce_at(carry, pixel, jnp.int32(0), sort=False)
+    carry, pixel = bounce_at(carry, pixel, jnp.int32(0), sort=False,
+                             ld=use_ld)
 
     # Sort cadence: a bounce leaves origins inside the tile's previous hit
     # region (spatially coherent) — only the direction octants scramble — so

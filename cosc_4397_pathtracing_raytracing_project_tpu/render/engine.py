@@ -83,6 +83,16 @@ class RenderConfig:
     # estimator (variance, not its mean), so it's off by default and
     # supported on the 'reference' pipeline in light_only mode only.
     nee: bool = False
+    # Extension: sample generator. 'independent' = the default pseudo-random
+    # streams (threefry for the lane pipelines, counter-hash for the
+    # pixel-keyed ones); 'sobol' = per-pixel digitally-shifted Sobol
+    # (0,2)-sequences on the variance-critical first-vertex dimensions
+    # (sub-pixel AA, lens disk, first-bounce BSDF branch+direction,
+    # first-bounce NEE — see ops/rng.py's LD block). Same estimator mean
+    # (every marginal stays uniform), lower variance at equal spp. The
+    # reference has no counterpart (independent thrust engines per
+    # (iter, pixel), `src/pathtrace.cu:203-207`).
+    sampler: str = "independent"
     # Megakernel: skip a bounce's whole vector body when every lane in a
     # tile has terminated. Scene-dependent (TPU A/B, 2026-08-17): +69% on
     # the open sphere scene (tiles die as rays escape), -11% on the closed
@@ -106,6 +116,8 @@ class RenderConfig:
     pipeline: str = "auto"
 
     def resolve_pipeline(self, scene: Scene) -> str:
+        if self.sampler not in ("independent", "sobol"):
+            raise ValueError(f"unknown sampler {self.sampler!r}")
         if self.pipeline != "auto":
             return self.pipeline
         from ..ops import fast as fast_mod
@@ -122,7 +134,13 @@ class RenderConfig:
             # kernel shadow rays), the readable wavefront as fallback; all
             # need light_only gathering (legacy mode raises downstream)
             if self.gather_mode == "light_only" and fast_mod.supports(scene):
-                return "pallas" if on_tpu else "fast"
+                # the megakernel draws in-kernel PRNG only; LD sampling
+                # runs on the XLA pipelines until it lands in-kernel
+                return (
+                    "pallas"
+                    if on_tpu and self.sampler != "sobol"
+                    else "fast"
+                )
             if (
                 self.gather_mode == "light_only"
                 and on_tpu
@@ -132,7 +150,8 @@ class RenderConfig:
             return "reference"
 
         if self.intersector in ("auto", "bruteforce") and fast_mod.supports(scene):
-            return "pallas" if on_tpu else "fast"
+            # same sobol gate as above: LD isn't in-kernel yet
+            return "pallas" if on_tpu and self.sampler != "sobol" else "fast"
         if on_tpu and fast_mod.supports_mesh(scene):
             return "fast_mesh"
         return "reference"
@@ -204,20 +223,36 @@ def trace_sample(
             "Renderer builds one automatically)"
         )
 
-    jitter = (
-        rng_ops.pixel_jitter(base_key, iteration, n) if config.antialias else None
-    )
-    lens = (
-        rng_ops.lens_uniforms(base_key, iteration, n) if config.dof else None
-    )
+    # sampler='sobol': the first-vertex dimensions draw per-pixel shifted
+    # (0,2)-sequence points (pixel-keyed by GLOBAL id, so shard slices see
+    # the full-frame stream); deeper bounces keep the threefry streams.
+    use_ld = config.sampler == "sobol"
+    pix = pixel_offset + jnp.arange(n, dtype=jnp.int32)
+    jitter = lens = None
+    if config.antialias:
+        jitter = (
+            rng_ops.ld_pixel_jitter(base_key, iteration, pix)
+            if use_ld
+            else rng_ops.pixel_jitter(base_key, iteration, n)
+        )
+    if config.dof:
+        lens = (
+            rng_ops.ld_lens_uniforms(base_key, iteration, pix)
+            if use_ld
+            else rng_ops.lens_uniforms(base_key, iteration, n)
+        )
     origins, directions = camera_ops.generate_rays(
         cam, jitter, pixel_offset=pixel_offset, num_pixels=n, lens=lens
     )
     paths = init_paths(origins, directions, config.trace_depth)
 
-    def bounce(carry, depth):
+    def bounce(carry, depth, u=None, nee_u=None):
         paths, radiance, prev_pdf = carry
-        uniforms = rng_ops.bounce_uniforms(base_key, iteration, depth, n)
+        uniforms = (
+            u
+            if u is not None
+            else rng_ops.bounce_uniforms(base_key, iteration, depth, n)
+        )
         hit = isect(scene, paths.origin, paths.direction)
         if use_nee:
             from ..ops.lights import NEEInputs
@@ -225,7 +260,11 @@ def trace_sample(
             nee = NEEInputs(
                 sampler=light_sampler,
                 shadow_isect=lambda o, d: isect(scene, o, d),
-                uniforms=rng_ops.nee_uniforms(base_key, iteration, depth, n),
+                uniforms=(
+                    nee_u
+                    if nee_u is not None
+                    else rng_ops.nee_uniforms(base_key, iteration, depth, n)
+                ),
             )
             paths, contrib, prev_pdf = shade_step(
                 paths,
@@ -258,10 +297,26 @@ def trace_sample(
     # primary rays carry the delta marker: the camera "technique" has no
     # NEE competitor, so direct light-hits keep full weight
     pdf0 = jnp.full((n,), -1.0, jnp.float32)
+    carry0 = (paths, radiance0, pdf0)
+    start = 0
+    if use_ld:
+        # bounce 0 unrolled out of the scan: its uniforms come from the LD
+        # block (static branch — depth is traced inside the scan)
+        carry0, _ = bounce(
+            carry0,
+            jnp.int32(0),
+            u=rng_ops.ld_bounce0_uniforms(base_key, iteration, pix).T,
+            nee_u=(
+                rng_ops.ld_nee0_uniforms(base_key, iteration, pix)
+                if use_nee
+                else None
+            ),
+        )
+        start = 1
     (paths, radiance, _), _ = jax.lax.scan(
         bounce,
-        (paths, radiance0, pdf0),
-        jnp.arange(config.trace_depth, dtype=jnp.int32),
+        carry0,
+        jnp.arange(start, config.trace_depth, dtype=jnp.int32),
     )
     if config.gather_mode == "throughput":
         # finalGather parity: every path adds its terminal throughput product.
@@ -312,6 +367,12 @@ def make_pallas_step(interpret: bool = False, scene: Scene = None,
     (set_camera replaces only the camera), so the closure stays valid.
     `config` (optional) lets the nee light table be derived once too."""
     from ..ops.pallas import megakernel
+
+    if config is not None and getattr(config, "sampler", None) == "sobol":
+        raise ValueError(
+            "sampler='sobol' is not in-kernel yet; use pipeline='fast' "
+            "(or 'auto', which resolves it)"
+        )
 
     geom_kinds = scene_static = nee_static = None
     if scene is not None:

@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "version of the reference's dead dev_lightPositions). "
                         "light_only estimator; in-kernel on the megakernel, "
                         "SoA fast path or wavefront elsewhere")
+    p.add_argument("--sampler", default="independent",
+                   choices=["independent", "sobol"],
+                   help="sample generator (extension; the reference only "
+                        "has independent per-pixel engines). sobol = "
+                        "per-pixel digitally-shifted (0,2)-sequences on "
+                        "the first-vertex dimensions: same mean, lower "
+                        "variance at equal spp")
     p.add_argument("--early-exit", action="store_true",
                    help="megakernel: skip bounces once a whole tile's lanes "
                         "terminate. Wins big on OPEN scenes (rays escape: "
@@ -109,6 +116,7 @@ def main(argv=None) -> int:
         enable_refraction=refraction,
         nee=args.nee,
         early_exit=args.early_exit,
+        sampler=args.sampler,
     )
     if args.nee and args.estimator == "throughput":
         print("error: --nee needs the light_only estimator", file=sys.stderr)

@@ -94,6 +94,31 @@ def test_mesh_ray_sort_image_invariant(tri_scene, cluster):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
+def test_mesh_sobol_sort_image_invariant(tri_scene, cluster):
+    """sampler='sobol' on the mesh pipeline: the LD lattice is pixel-keyed
+    like the hash stream, so the per-bounce resort stays image-invariant,
+    and the first-bounce draws actually change vs the independent sampler."""
+    import dataclasses
+
+    cfg = RenderConfig(
+        trace_depth=4, sky_strength=0.5, antialias=True, sampler="sobol"
+    )
+    cfg_unsorted = dataclasses.replace(cfg, mesh_ray_sort=False)
+    key = jax.random.PRNGKey(7)
+    # eager on purpose — see test_mesh_ray_sort_image_invariant
+    a = fast.trace_sample_mesh(tri_scene, cfg, key, jnp.int32(1), cluster)
+    b = fast.trace_sample_mesh(tri_scene, cfg_unsorted, key, jnp.int32(1),
+                               cluster)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-7)
+    assert np.isfinite(np.asarray(a)).all()
+    c = fast.trace_sample_mesh(
+        tri_scene, dataclasses.replace(cfg, sampler="independent"), key,
+        jnp.int32(1), cluster,
+    )
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_mesh_fused_sort_bit_identical(tri_scene, cluster):
     """mesh_sort_fused (one lax.sort carrying all payloads) must produce the
     exact permutation of the argsort+gather path: stable sort, same key."""

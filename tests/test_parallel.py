@@ -64,6 +64,27 @@ def test_sharded_matches_single_device_statistics(small_scene):
     assert corr > 0.95
 
 
+def test_sharded_sobol_matches_single_device(small_scene):
+    """sampler='sobol' under the sharded step: LD draws are keyed by GLOBAL
+    pixel id (pixel_offset threads through), so an sp-tiled render draws
+    the same first-vertex lattice a full-frame render would; deep bounces
+    stay per-shard streams, so agreement is statistical like the
+    independent sampler's."""
+    cfg = RenderConfig(trace_depth=4, antialias=True, sampler="sobol")
+    mesh = make_mesh(8, sample_parallel=2)
+    state = RenderState.create(small_scene.camera.pixel_count, seed=0)
+    sharded = render_chunk_sharded(small_scene, state, cfg, 32, mesh)
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.render.engine import render_chunk
+
+    single = render_chunk(small_scene, state, cfg, 32)
+    img_a = np.asarray(sharded.accum) / 32
+    img_b = np.asarray(single.accum) / 32
+    assert abs(img_a.mean() - img_b.mean()) / img_b.mean() < 0.05
+    corr = np.corrcoef(img_a.mean(-1).ravel(), img_b.mean(-1).ravel())[0, 1]
+    assert corr > 0.95
+
+
 def test_jitted_sharded_step(small_scene):
     mesh = make_mesh(8, sample_parallel=2)
     step = make_sharded_step(small_scene, RenderConfig(trace_depth=4), 4, mesh)

@@ -1,0 +1,170 @@
+"""Pipeline-level tests for the low-discrepancy sampler (sampler='sobol').
+
+The LD primitives themselves (elementary-interval stratification, shift
+invariances, hash-lane bit-compat) are covered by test_render.TestSobol;
+this file pins the estimator contract at the pipeline level: same mean as
+the independent sampler, measurably lower error at equal spp, and the
+pipeline/validation wiring. The reference has no counterpart (independent
+thrust engines per (iter, pixel), `src/pathtrace.cu:203-207`).
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from cosc_4397_pathtracing_raytracing_project_tpu import Renderer, RenderConfig
+from cosc_4397_pathtracing_raytracing_project_tpu.scene.parser import parse_scene
+
+HERE = os.path.dirname(__file__)
+CORNELL = open(os.path.join(HERE, "..", "scenes", "cornell.txt")).read()
+
+
+def _small(res=48):
+    return parse_scene(
+        CORNELL.replace("RES         800 800", f"RES         {res} {res}")
+    )
+
+
+def _psnr(img, truth):
+    return 10.0 * math.log10(1.0 / float(((img - truth) ** 2).mean()))
+
+
+_CFG = dict(
+    samples_per_launch=32,
+    gather_mode="light_only",
+    pipeline="reference",
+    antialias=True,  # exercises the LD pixel-jitter lattice too
+)
+
+
+@pytest.fixture(scope="module")
+def renders():
+    """truth (1536-spp independent), independent@32, sobol@32 — one shared
+    set for the mean and convergence tests."""
+    truth = Renderer(_small(), RenderConfig(**_CFG)).render(1536)
+    ind = Renderer(_small(), RenderConfig(**_CFG), seed=3).render(32)
+    sob = Renderer(
+        _small(), RenderConfig(sampler="sobol", **_CFG), seed=3
+    ).render(32)
+    return tuple(
+        np.clip(r.linear_image(), 0, 1) for r in (truth, ind, sob)
+    )
+
+
+@pytest.mark.slow  # the 1536-spp truth render dominates
+def test_sobol_same_mean(renders):
+    """Unbiasedness: the digital shift keeps every marginal uniform, so the
+    estimator mean is unchanged — only variance drops. Measured 0.75%
+    image-mean delta vs truth at 32 spp."""
+    truth, _, sob = renders
+    assert abs(sob.mean() - truth.mean()) / truth.mean() < 0.03
+    np.testing.assert_allclose(
+        sob.mean(axis=(0, 1)), truth.mean(axis=(0, 1)), rtol=0.05
+    )
+
+
+@pytest.mark.slow
+def test_sobol_converges_faster(renders):
+    """The point of QMC: lower error at equal spp. Measured on this exact
+    configuration (CPU, seed 3): independent 29.4 dB, sobol 30.3 dB at
+    32 spp (the gap grows with spp: +1.4 dB at 64)."""
+    truth, ind, sob = renders
+    assert _psnr(sob, truth) > _psnr(ind, truth) + 0.3
+
+
+def test_sobol_fast_matches_reference_mean():
+    """The SoA fast pipeline's LD wiring is the same estimator as the
+    reference wavefront's (deep bounces use different PRNG streams, bounce
+    0 the same lattice): measured 0.3% mean agreement at 32 spp."""
+    imgs = {}
+    for pipe in ("reference", "fast"):
+        r = Renderer(
+            _small(),
+            RenderConfig(
+                sampler="sobol",
+                pipeline=pipe,
+                samples_per_launch=16,
+                antialias=True,
+            ),
+            seed=5,
+        )
+        r.render(32)
+        imgs[pipe] = np.asarray(r.state.accum) / 32
+    a, b = imgs["fast"], imgs["reference"]
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.03
+    corr = np.corrcoef(a.mean(-1).ravel(), b.mean(-1).ravel())[0, 1]
+    assert corr > 0.95
+
+
+def test_sobol_nee_composes():
+    """sampler='sobol' + nee=True: the first-bounce NEE draws come from the
+    LD lattice (light pick via shifted van der Corput, light surface via
+    the (0,2) pair); must render finite, positive images on both hosts of
+    the estimator."""
+    for pipe in ("reference", "fast"):
+        r = Renderer(
+            _small(),
+            RenderConfig(
+                sampler="sobol", nee=True, pipeline=pipe,
+                samples_per_launch=4,
+            ),
+        )
+        r.step(4)
+        img = np.asarray(r.state.accum)
+        assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_sobol_dof_lens_lattice():
+    """DOF + sobol: lens-disk draws ride their own shift lattice."""
+    desc = _small()
+    desc.camera.aperture = 0.3
+    r = Renderer(desc, RenderConfig(sampler="sobol", samples_per_launch=2))
+    r.step(2)
+    img = np.asarray(r.state.accum)
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_sampler_validation():
+    import jax.numpy  # noqa: F401  (scene build needs jax ready)
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.render.engine import (
+        make_pallas_step,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.scene import Scene
+
+    scene = Scene.from_desc(_small())
+    # unknown sampler name
+    with pytest.raises(ValueError, match="sampler"):
+        RenderConfig(sampler="halton").resolve_pipeline(scene)
+    # the megakernel has no in-kernel LD yet: explicit pallas must refuse
+    # rather than silently fall back to its PRNG
+    with pytest.raises(ValueError, match="sobol"):
+        make_pallas_step(scene=scene, config=RenderConfig(sampler="sobol"))
+    # auto never routes sobol to pallas (on CPU it is 'fast' regardless,
+    # but the resolved name must be a sobol-capable pipeline)
+    assert RenderConfig(sampler="sobol").resolve_pipeline(scene) in (
+        "fast", "fast_mesh", "reference",
+    )
+
+
+def test_sobol_wavefront_compaction_invariant():
+    """LD uniforms are gathered by pixel id exactly like the threefry rows,
+    so path reordering stays image-invariant under sampler='sobol'."""
+    import jax
+    import jax.numpy as jnp
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.models.wavefront import (
+        trace_sample_wavefront,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.scene import Scene
+
+    scene = Scene.from_desc(_small())
+    cfg = RenderConfig(sampler="sobol", trace_depth=4, antialias=True)
+    key = jax.random.PRNGKey(2)
+    a = trace_sample_wavefront(scene, cfg, key, jnp.int32(1),
+                               compaction="none")
+    b = trace_sample_wavefront(scene, cfg, key, jnp.int32(1),
+                               compaction="sort_alive")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
