@@ -33,6 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...scene.structs import Scene
+from ..rng import SOBOL_NBITS as _SOBOL_NBITS
+from ..rng import _SOBOL_DIR
 
 # Tile-size sweep (fresh-process, Cornell 800×800): 8→308, 16→342, 32→341,
 # 64→303, 128→257, 512→199 M rays/s. Small tiles pipeline VMEM better.
@@ -370,6 +372,7 @@ def _make_kernel(
     hoist_primary: bool = False,
     nee: tuple = None,
     dof: bool = False,
+    ld: bool = False,
 ):
     # legacy mode's sky multiply keeps updating terminated lanes (quirk
     # parity), so an all-dead bounce is NOT a no-op there — never skip
@@ -419,6 +422,59 @@ def _make_kernel(
             # (then slicing) measured 3% SLOWER at IL=5 — per-draw cost is
             # element-wise, not per-call, and the wide block spills registers.
             return _u01(shape) if hw_prng else soft_prng.u01(shape)
+
+        # ── sampler='sobol' (ld): in-kernel digitally-shifted (0,2) draws ──
+        # Bit-compatible with ops.rng's ld_* lattice (same murmur shifts,
+        # same direction numbers, same seed = key_data[-1]), so the
+        # megakernel's first-vertex dimensions sample the exact points the
+        # XLA pipelines do. The per-(pixel, tag) shift lattices are
+        # iteration-invariant → hoisted here, once per dispatch; per sample
+        # only the two scalar Sobol components (pure bit math on the
+        # iteration index, scalar unit) and one XOR+shift+convert per draw
+        # (vector) remain — cheaper than a PRNG draw.
+        if ld:
+            pid_u = jax.lax.bitcast_convert_type(
+                py.astype(jnp.int32) * jnp.int32(width) + px.astype(jnp.int32),
+                jnp.uint32,
+            )
+            seed_u = jnp.asarray(seed).astype(jnp.uint32)
+
+            def _ld_shift(tag):
+                x = pid_u ^ (
+                    jnp.uint32(0x5D000000 + tag)
+                    ^ (seed_u * jnp.uint32(0x9E3779B9))
+                )
+                x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+                x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+                return x ^ (x >> jnp.uint32(16))
+
+            # tags: ops.rng.LD_AA_X..LD_NEE_V (0..9)
+            ld_aa = (_ld_shift(0), _ld_shift(1)) if antialias else None
+            ld_lens = (_ld_shift(2), _ld_shift(3)) if dof else None
+            ld_b0 = (_ld_shift(4), _ld_shift(5), _ld_shift(6))
+            ld_nee = None
+            if nee is not None:
+                ld_nee = (
+                    _ld_shift(7) if nee[0] > 1 else None,
+                    _ld_shift(8),
+                    _ld_shift(9),
+                )
+
+            def _sobol_scalar_pair(iteration):
+                nv = jnp.asarray(iteration).astype(jnp.uint32)
+                x0 = jnp.uint32(0)
+                x1 = jnp.uint32(0)
+                for k in range(_SOBOL_NBITS):
+                    bit = (nv >> jnp.uint32(k)) & jnp.uint32(1)
+                    x0 = x0 ^ (bit * jnp.uint32(int(_SOBOL_DIR[0, k])))
+                    x1 = x1 ^ (bit * jnp.uint32(int(_SOBOL_DIR[1, k])))
+                return x0, x1
+
+            def _ld_u01(sbits, shift):
+                x = (shift ^ sbits) >> jnp.uint32(8)
+                # Mosaic has no uint32→f32 cast; top-24 bits are positive
+                top24 = jax.lax.bitcast_convert_type(x, jnp.int32)
+                return top24.astype(jnp.float32) * jnp.float32(2.0**-24)
 
         # Scene tables: static immediates when available (geometry and
         # materials are fixed after scene load — the compiler folds shared
@@ -753,15 +809,23 @@ def _make_kernel(
             pre0 = (hit0, fetch_material(hit0[4]))
 
         def init_sample(iteration):
+            if ld and (antialias or dof):
+                s0, s1 = _sobol_scalar_pair(iteration)
             if antialias:
-                seed_prng(_mix(seed, iteration, jnp.int32(0xAA), tile))
-                jx = draw_u01()
-                jy = draw_u01()
+                if ld:
+                    jx = _ld_u01(s0, ld_aa[0])
+                    jy = _ld_u01(s1, ld_aa[1])
+                else:
+                    seed_prng(_mix(seed, iteration, jnp.int32(0xAA), tile))
+                    jx = draw_u01()
+                    jy = draw_u01()
                 dx, dy, dz = raygen(px + jx, py + jy)
             elif dof:
-                # lens-only: seed the per-(seed, iter, tile) camera stream
-                # (with antialias on, the 0xAA stream continues below)
-                seed_prng(_mix(seed, iteration, jnp.int32(0xD0F), tile))
+                if not ld:
+                    # lens-only: seed the per-(seed, iter, tile) camera
+                    # stream (with antialias on, the 0xAA stream continues
+                    # below; LD draws its lens pair from the lattice)
+                    seed_prng(_mix(seed, iteration, jnp.int32(0xD0F), tile))
                 dx, dy, dz = raygen(px, py)
             else:
                 dx, dy, dz = base_dir
@@ -777,8 +841,12 @@ def _make_kernel(
                 fpx = ox + dx * ft
                 fpy = oy + dy * ft
                 fpz = oz + dz * ft
-                u1 = draw_u01()
-                u2 = draw_u01()
+                if ld:
+                    u1 = _ld_u01(s0, ld_lens[0])
+                    u2 = _ld_u01(s1, ld_lens[1])
+                else:
+                    u1 = draw_u01()
+                    u2 = draw_u01()
                 rl = aperture * jnp.sqrt(u1)
                 th = (2.0 * _PI) * u2
                 lx = rl * jnp.cos(th)
@@ -819,6 +887,26 @@ def _make_kernel(
                     u_rr = u_branch = u_a = u_b = px * 0.001
                     if nee is not None:
                         u_l0 = u_l1 = u_l2 = px * 0.002
+                elif ld and depth == 0:
+                    # first-vertex draws from the shifted (0,2) lattice
+                    # (same lane layout as ops.rng.ld_bounce0_uniforms /
+                    # ld_nee0_uniforms); RR stays on the PRNG stream (only
+                    # ever consumed at depth 0 if rr_start_depth < 0)
+                    s0, s1 = _sobol_scalar_pair(iteration)
+                    if depth > rr_start_depth:
+                        seed_prng(_mix(seed, iteration, depth, tile))
+                        u_rr = draw_u01()
+                    else:
+                        u_rr = None
+                    u_branch = _ld_u01(s0, ld_b0[0])
+                    u_a = _ld_u01(s0, ld_b0[1])
+                    u_b = _ld_u01(s1, ld_b0[2])
+                    if nee is not None:
+                        u_l0 = (
+                            _ld_u01(s0, ld_nee[0]) if nee[0] > 1 else None
+                        )
+                        u_l1 = _ld_u01(s0, ld_nee[1])
+                        u_l2 = _ld_u01(s1, ld_nee[2])
                 else:
                     seed_prng(_mix(seed, iteration, depth, tile))
                     # pre-RR bounces never consume u_rr: skip the draw (the
@@ -1388,6 +1476,13 @@ def _render_samples_impl(
     w, h = cam.resolution
     n = num_pixels if num_pixels is not None else w * h
 
+    if getattr(config, "sampler", "independent") == "sobol" and (
+        w * h >= 1 << 24
+    ):
+        # the in-kernel lattice rebuilds global pixel ids from the f32
+        # px/py coordinates; exact only below 2^24
+        raise ValueError("sampler='sobol' supports at most 2^24 pixels")
+
     n_pad = ((n + TILE - 1) // TILE) * TILE
     rows = n_pad // LANES
 
@@ -1457,6 +1552,7 @@ def _render_samples_impl(
         hoist_primary=hoist_primary,
         nee=nee_static,
         dof=bool(getattr(config, "dof", False)),
+        ld=getattr(config, "sampler", "independent") == "sobol",
     )
 
     grid = n_pad // TILE

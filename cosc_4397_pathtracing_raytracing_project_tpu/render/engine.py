@@ -134,13 +134,7 @@ class RenderConfig:
             # kernel shadow rays), the readable wavefront as fallback; all
             # need light_only gathering (legacy mode raises downstream)
             if self.gather_mode == "light_only" and fast_mod.supports(scene):
-                # the megakernel draws in-kernel PRNG only; LD sampling
-                # runs on the XLA pipelines until it lands in-kernel
-                return (
-                    "pallas"
-                    if on_tpu and self.sampler != "sobol"
-                    else "fast"
-                )
+                return "pallas" if on_tpu else "fast"
             if (
                 self.gather_mode == "light_only"
                 and on_tpu
@@ -150,8 +144,7 @@ class RenderConfig:
             return "reference"
 
         if self.intersector in ("auto", "bruteforce") and fast_mod.supports(scene):
-            # same sobol gate as above: LD isn't in-kernel yet
-            return "pallas" if on_tpu and self.sampler != "sobol" else "fast"
+            return "pallas" if on_tpu else "fast"
         if on_tpu and fast_mod.supports_mesh(scene):
             return "fast_mesh"
         return "reference"
@@ -367,12 +360,6 @@ def make_pallas_step(interpret: bool = False, scene: Scene = None,
     (set_camera replaces only the camera), so the closure stays valid.
     `config` (optional) lets the nee light table be derived once too."""
     from ..ops.pallas import megakernel
-
-    if config is not None and getattr(config, "sampler", None) == "sobol":
-        raise ValueError(
-            "sampler='sobol' is not in-kernel yet; use pipeline='fast' "
-            "(or 'auto', which resolves it)"
-        )
 
     geom_kinds = scene_static = nee_static = None
     if scene is not None:

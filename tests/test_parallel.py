@@ -344,3 +344,37 @@ def test_sharded_megakernel_dof_matches_single_device():
     out1 = step1(scene, state)
     assert int(out1.iteration) == num_samples
     np.testing.assert_array_equal(np.asarray(out1.accum), single)
+
+
+@pytest.mark.slow
+def test_sharded_megakernel_sobol_matches_single_device():
+    """sobol in-kernel under shard_map: LD draws are keyed by GLOBAL pixel
+    id (rebuilt in-kernel from the slice's px/py), PRNG streams by global
+    tile — a TILE-aligned dp-sharded sobol render must stay bit-identical
+    to the single-device one."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import megakernel
+    from cosc_4397_pathtracing_raytracing_project_tpu.parallel import (
+        make_sharded_pallas_step,
+    )
+
+    desc = parse_scene(CORNELL_SMALL)
+    desc.camera.resolution = (128, 64)  # 8192 px: dp=4 → exactly 1 TILE/shard
+    scene = Scene.from_desc(desc)
+    cfg = RenderConfig(trace_depth=2, antialias=True, sampler="sobol")
+    state = RenderState.create(scene.camera.pixel_count, seed=0)
+    seed = (state.key.reshape(-1)[-1].astype(jnp.uint32)).astype(jnp.int32)
+    num_samples = 2
+
+    single = np.asarray(
+        megakernel.render_samples(
+            scene, cfg, seed, state.iteration + 1, num_samples, interpret=True
+        )
+    )
+    assert np.isfinite(single).all() and single.max() > 0
+
+    mesh = make_mesh(8, sample_parallel=2)  # dp=4
+    step = make_sharded_pallas_step(scene, cfg, num_samples, mesh, interpret=True)
+    out = step(scene, state)
+    np.testing.assert_allclose(
+        np.asarray(out.accum), single, rtol=1e-5, atol=1e-6
+    )

@@ -127,10 +127,10 @@ def test_sobol_dof_lens_lattice():
 
 
 def test_sampler_validation():
-    import jax.numpy  # noqa: F401  (scene build needs jax ready)
+    import jax.numpy as jnp
 
-    from cosc_4397_pathtracing_raytracing_project_tpu.render.engine import (
-        make_pallas_step,
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import (
+        megakernel,
     )
     from cosc_4397_pathtracing_raytracing_project_tpu.scene import Scene
 
@@ -138,15 +138,15 @@ def test_sampler_validation():
     # unknown sampler name
     with pytest.raises(ValueError, match="sampler"):
         RenderConfig(sampler="halton").resolve_pipeline(scene)
-    # the megakernel has no in-kernel LD yet: explicit pallas must refuse
-    # rather than silently fall back to its PRNG
-    with pytest.raises(ValueError, match="sobol"):
-        make_pallas_step(scene=scene, config=RenderConfig(sampler="sobol"))
-    # auto never routes sobol to pallas (on CPU it is 'fast' regardless,
-    # but the resolved name must be a sobol-capable pipeline)
-    assert RenderConfig(sampler="sobol").resolve_pipeline(scene) in (
-        "fast", "fast_mesh", "reference",
-    )
+    # the in-kernel lattice rebuilds pixel ids from f32 coords: exact only
+    # below 2^24 pixels
+    big = _small()
+    big.camera.resolution = (4096, 4096)
+    with pytest.raises(ValueError, match="2\\^24"):
+        megakernel.render_samples(
+            Scene.from_desc(big), RenderConfig(sampler="sobol"),
+            jnp.int32(0), jnp.int32(1), 1, interpret=True,
+        )
 
 
 def test_sobol_wavefront_compaction_invariant():
