@@ -12,7 +12,9 @@ call, default 200 — divisible by the megakernel's INTERLEAVE=8 so the full
 measured interleave factor engages, and 1000 iters = 5 exact dispatches;
 measured 589.3 M vs 584.8 at chunk 40), PT_BENCH_SCENE (scene path),
 PT_BENCH_PROBE_TIMEOUT (seconds per backend probe, default 120),
-PT_BENCH_PROBE_ATTEMPTS (default 4).
+PT_BENCH_PROBE_ATTEMPTS (default 4), PT_BENCH_SAMPLER (default "sobol" —
+the flagship low-discrepancy sampler; "independent" for the plain
+PRNG streams).
 """
 
 import json
@@ -106,9 +108,14 @@ def main():
 
     from cosc_4397_pathtracing_raytracing_project_tpu import RenderConfig, Renderer
 
+    # sampler='sobol' is the flagship configuration: the in-kernel LD
+    # lattice measured FASTER than the PRNG draws it replaces (586.8/596.7
+    # vs 572.8/572.1 M rays/s, alternating best-of-3, 2026-08-18) and
+    # converges ~1.7 dB better at equal spp. Same estimator mean.
+    sampler = os.environ.get("PT_BENCH_SAMPLER", "sobol")
     renderer = Renderer(
         scene_path,
-        RenderConfig(samples_per_launch=chunk),
+        RenderConfig(samples_per_launch=chunk, sampler=sampler),
     )
 
     # Warm up / compile outside the timed region, then reset device state,
@@ -159,7 +166,9 @@ def main():
 
         rg = Renderer(
             golden_scene,
-            RenderConfig(samples_per_launch=chunk, antialias=True),
+            RenderConfig(
+                samples_per_launch=chunk, antialias=True, sampler=sampler
+            ),
         )
         rg.render(min(iters, 1000))
         psnr_golden = golden_psnr(rg)
