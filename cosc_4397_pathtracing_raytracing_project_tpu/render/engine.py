@@ -93,6 +93,14 @@ class RenderConfig:
     # reference has no counterpart (independent thrust engines per
     # (iter, pixel), `src/pathtrace.cu:203-207`).
     sampler: str = "independent"
+    # With sampler='sobol': how many leading bounce depths draw their
+    # branch/direction (and NEE) lanes from the LD lattice. Each depth owns
+    # fresh digital-shift lattices over the same (0,2) pair (padded Sobol),
+    # so the second path vertex stays stratified too — RR only decorrelates
+    # path lengths after rr_start_depth. Depths past this use the
+    # counter-hash streams. ld_depths=1 reproduces the original
+    # first-vertex-only sampler bit-exactly.
+    ld_depths: int = 2
     # Megakernel: skip a bounce's whole vector body when every lane in a
     # tile has terminated. Scene-dependent (TPU A/B, 2026-08-17): +69% on
     # the open sphere scene (tiles die as rays escape), -11% on the closed
@@ -293,19 +301,21 @@ def trace_sample(
     carry0 = (paths, radiance0, pdf0)
     start = 0
     if use_ld:
-        # bounce 0 unrolled out of the scan: its uniforms come from the LD
-        # block (static branch — depth is traced inside the scan)
-        carry0, _ = bounce(
-            carry0,
-            jnp.int32(0),
-            u=rng_ops.ld_bounce0_uniforms(base_key, iteration, pix).T,
-            nee_u=(
-                rng_ops.ld_nee0_uniforms(base_key, iteration, pix)
-                if use_nee
-                else None
-            ),
-        )
-        start = 1
+        # LD bounces unrolled out of the scan: their uniforms come from the
+        # per-depth LD lattices (static branch — depth is traced inside the
+        # scan, so LD depths can't live there)
+        for d in range(min(config.ld_depths, config.trace_depth)):
+            carry0, _ = bounce(
+                carry0,
+                jnp.int32(d),
+                u=rng_ops.ld_bounce_uniforms(base_key, iteration, pix, d).T,
+                nee_u=(
+                    rng_ops.ld_nee_bounce_uniforms(base_key, iteration, pix, d)
+                    if use_nee
+                    else None
+                ),
+            )
+            start = d + 1
     (paths, radiance, _), _ = jax.lax.scan(
         bounce,
         carry0,

@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-pixel digitally-shifted (0,2)-sequences on "
                         "the first-vertex dimensions: same mean, lower "
                         "variance at equal spp")
+    p.add_argument("--ld-depths", type=int, default=2,
+                   help="with --sampler sobol: how many leading bounce "
+                        "depths draw from the LD lattice (padded Sobol, "
+                        "fresh digital shifts per depth); deeper bounces "
+                        "use the hash streams")
     p.add_argument("--early-exit", action="store_true",
                    help="megakernel: skip bounces once a whole tile's lanes "
                         "terminate. Wins big on OPEN scenes (rays escape: "
@@ -117,6 +122,7 @@ def main(argv=None) -> int:
         nee=args.nee,
         early_exit=args.early_exit,
         sampler=args.sampler,
+        ld_depths=max(1, args.ld_depths),
     )
     if args.nee and args.estimator == "throughput":
         print("error: --nee needs the light_only estimator", file=sys.stderr)

@@ -401,6 +401,47 @@ def test_megakernel_sobol_bounce0_bitmatches_fast(scene):
 
 
 @pytest.mark.slow
+def test_megakernel_sobol_depth1_lattice_matches_fast(scene):
+    """ld_depths=2 in-kernel: the depth-1 NEE/BSDF draws must come from
+    the SECOND per-depth shift lattice (ops.rng.ld_bounce_tags(1) /
+    ld_nee_tags(1)). Full bit-identity with the fast pipeline is
+    unattainable past depth 1 (fast renormalizes the scattered direction,
+    `ops/fast.py` shade_soa; the megakernel's combine is unit by
+    construction — last-ulp direction deltas flip ~0.2% of discrete
+    outcomes), so the pin is statistical with a 7x measured margin:
+    NEE radiance is CONTINUOUS in the depth-1 light-sample draws, and
+    with the matching lattice only 3.1% of pixels differ >1e-3 (ulp
+    flips) vs 21.7% when the depth-1 draws come from a different lattice
+    (ld_depths=1 control, same seed)."""
+    import jax
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.lights import (
+        make_light_sampler,
+    )
+
+    key = jax.random.PRNGKey(0)
+    seed = jnp.asarray(
+        jax.random.key_data(key).reshape(-1)[-1].astype(jnp.uint32)
+    ).astype(jnp.int32)
+    ls = make_light_sampler(scene)
+    cfg = RenderConfig(
+        trace_depth=2, antialias=True, sampler="sobol", ld_depths=2,
+        nee=True,
+    )
+    mk = np.asarray(
+        megakernel.render_samples(
+            scene, cfg, seed, jnp.int32(1), 1, interpret=True
+        )
+    )
+    fa = np.asarray(
+        fast.trace_sample_fast(scene, cfg, key, jnp.int32(1),
+                               light_sampler=ls)
+    )
+    frac = (np.abs(mk - fa).max(-1) > 1e-3).mean()
+    assert frac < 0.10, frac  # measured 0.031 matched / 0.217 mismatched
+
+
+@pytest.mark.slow
 def test_megakernel_sobol_nee_matches_fast(scene):
     """sobol + nee in-kernel: depth-1 confines every draw to the LD
     lattice; the only remaining deltas are float-math organization

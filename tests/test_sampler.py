@@ -126,6 +126,38 @@ def test_sobol_dof_lens_lattice():
     assert np.isfinite(img).all() and img.max() > 0
 
 
+def test_ld_depths_knob():
+    """ld_depths (padded Sobol past the first vertex): at trace_depth=1 the
+    knob is inert (only depth 0 exists — renders bit-identical), at full
+    depth it must change the draws (the depth-1 lattice is live) while
+    keeping the estimator mean (every marginal stays uniform)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.fast import (
+        trace_sample_fast,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.scene import Scene
+
+    scene = Scene.from_desc(_small())
+    key = jax.random.PRNGKey(7)
+
+    def img(depth, ld_depths):
+        cfg = RenderConfig(
+            sampler="sobol", trace_depth=depth, antialias=True,
+            ld_depths=ld_depths,
+        )
+        acc = jnp.zeros((scene.camera.pixel_count, 3))
+        for i in range(8):
+            acc = acc + trace_sample_fast(scene, cfg, key, jnp.int32(1 + i))
+        return np.asarray(acc) / 8
+
+    np.testing.assert_array_equal(img(1, 1), img(1, 3))
+    a, b = img(4, 1), img(4, 2)
+    assert not np.array_equal(a, b)
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.05
+
+
 def test_sampler_validation():
     import jax.numpy as jnp
 
