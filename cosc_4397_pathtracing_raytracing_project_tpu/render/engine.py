@@ -632,16 +632,36 @@ class Renderer:
         img = tonemap.display_image(self.state.accum, self.state.iteration)
         return np.asarray(img).reshape(h, w, 3)
 
-    def save_png(self, path: Optional[str] = None) -> str:
+    def denoised_image(self, **filter_kwargs) -> np.ndarray:
+        """[H, W, 3] float32 linear radiance after the feature-guided
+        À-Trous denoiser (render.denoise — extension, no reference
+        counterpart). Keyword args pass through to `atrous_denoise`."""
+        from .denoise import denoise_image
+
+        return denoise_image(self, **filter_kwargs)
+
+    def save_png(
+        self, path: Optional[str] = None, denoise: bool = False
+    ) -> str:
         """Write the PNG exactly as the reference's saveImage: linear clamp,
-        no gamma, horizontal mirror, ``<name>.<timestamp>.<N>samp.png``."""
+        no gamma, horizontal mirror, ``<name>.<timestamp>.<N>samp.png``.
+        With ``denoise=True`` the accumulator mean is passed through the
+        À-Trous denoiser first (same save transform after)."""
         from ..io.png import write_png
         from ..utils.timing import current_time_string
 
         w, h = self.scene.camera.resolution
-        img = np.asarray(
-            tonemap.save_image(self.state.accum, self.state.iteration, w, h)
-        )
+        if denoise:
+            lin = self.denoised_image()
+            img = (np.clip(lin, 0.0, 1.0) * 255.0)[:, ::-1, :].astype(
+                np.uint8
+            )
+        else:
+            img = np.asarray(
+                tonemap.save_image(
+                    self.state.accum, self.state.iteration, w, h
+                )
+            )
         if path is None:
             path = f"{self.image_name}.{current_time_string()}.{self.iteration}samp.png"
         write_png(path, img)

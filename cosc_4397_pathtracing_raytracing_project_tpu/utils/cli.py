@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "depths draw from the LD lattice (padded Sobol, "
                         "fresh digital shifts per depth); deeper bounces "
                         "use the hash streams")
+    p.add_argument("--denoise", action="store_true",
+                   help="feature-guided A-Trous denoise of the saved image "
+                        "(extension; AOV pass + edge-avoiding wavelet "
+                        "filter — see render/denoise.py). Buys several dB "
+                        "at low sample counts; a converged render passes "
+                        "through nearly unchanged")
     p.add_argument("--early-exit", action="store_true",
                    help="megakernel: skip bounces once a whole tile's lanes "
                         "terminate. Wins big on OPEN scenes (rays escape: "
@@ -165,7 +171,7 @@ def main(argv=None) -> int:
 
     if not args.quiet:
         print(renderer.metrics.summary())
-    out = renderer.save_png(args.output)
+    out = renderer.save_png(args.output, denoise=args.denoise)
     if not args.quiet:
         print(f"Saved {out}.")
     if args.hdr:
