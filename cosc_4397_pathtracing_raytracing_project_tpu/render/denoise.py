@@ -130,11 +130,31 @@ def _luma(rgb: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _despeckle(irr: jnp.ndarray) -> jnp.ndarray:
+    """Firefly clamp: limit each pixel to its brightest 8-neighborhood
+    value (per channel). An isolated outlier — a low-probability path that
+    will not recur for thousands of samples — drops to its surroundings;
+    any genuine bright REGION (>= 2 px wide) keeps bright neighbors and
+    passes through. Needed because the À-Trous color weight *protects*
+    outliers (a firefly differs from every neighbor, so all its weights
+    vanish and it survives filtering untouched)."""
+    h, w, _ = irr.shape
+    p = jnp.pad(irr, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    neigh = None
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            s = jax.lax.slice(p, (dy, dx, 0), (dy + h, dx + w, 3))
+            neigh = s if neigh is None else jnp.maximum(neigh, s)
+    return jnp.minimum(irr, neigh)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "levels", "sigma_color", "sigma_normal", "sigma_depth",
-        "sigma_albedo",
+        "sigma_albedo", "defirefly",
     ),
 )
 def atrous_denoise(
@@ -146,6 +166,7 @@ def atrous_denoise(
     sigma_normal: float = 64.0,
     sigma_depth: float = 0.02,
     sigma_albedo: float = 0.15,
+    defirefly: bool = True,
 ) -> jnp.ndarray:
     """Edge-avoiding À-Trous filter over a linear [H, W, 3] radiance image.
 
@@ -168,6 +189,8 @@ def atrous_denoise(
     # same divisor multiplies back.
     alb_safe = jnp.maximum(alb, 1e-3)
     irr = color / alb_safe
+    if defirefly:
+        irr = _despeckle(irr)
 
     h, w, _ = color.shape
     inv_sd = 1.0 / jnp.float32(sigma_depth)

@@ -70,14 +70,32 @@ class TestFilter:
         np.testing.assert_allclose(out, np.asarray(img), atol=1e-5)
 
     def test_noise_removed_mean_preserved(self):
+        # defirefly=False isolates the wavelet filter: it is a normalized
+        # convex combination, so symmetric noise must average out with NO
+        # mean shift (the firefly clamp, tested separately, trades a tiny
+        # downward bias for outlier suppression)
         aovs = _flat_aovs(128, 128)
         rng = np.random.default_rng(7)
         img = np.clip(
             0.4 + rng.normal(0, 0.08, (128, 128, 3)), 0, None
         ).astype(np.float32)
-        out = np.asarray(atrous_denoise(jnp.asarray(img), aovs))
+        out = np.asarray(
+            atrous_denoise(jnp.asarray(img), aovs, defirefly=False)
+        )
         assert out.var() < img.var() / 20
         assert abs(out.mean() - img.mean()) < 2e-3
+
+    def test_despeckle_kills_fireflies_keeps_regions(self):
+        aovs = _flat_aovs(64, 64, albedo=1.0)
+        img = np.full((64, 64, 3), 0.2, np.float32)
+        img[10, 10] = 50.0  # isolated firefly
+        img[30:32, 30:32] = 5.0  # genuine 2x2 bright region
+        out = np.asarray(atrous_denoise(jnp.asarray(img), aovs))
+        # the firefly is gone (clamped to its surroundings, then averaged)
+        assert out[10, 10].max() < 1.0
+        # the bright block still stands out (its pixels keep bright
+        # neighbors; the color weight walls it off from the background)
+        assert out[30:32, 30:32].min() > 2.0
 
     def test_output_is_convex_combination(self):
         # normalized weights: output range cannot exceed the input range
