@@ -111,10 +111,14 @@ def render_aovs(scene: Scene, chunk: int = 1 << 16) -> Aovs:
     """Trace the per-pixel feature buffers (one center primary ray each).
 
     `chunk` bounds the pixels×primitives candidate matrix of the readable
-    intersector on large scenes; one chunk of 65536 rays against the
-    38.5k-triangle bench mesh is a ~2.5G-test `lax.map` step — a few
-    hundred ms on TPU, and the pass runs once per camera pose, not per
-    sample."""
+    intersector; on triangle scenes it is additionally capped so the
+    [chunk, T] Möller-Trumbore candidate block stays ≤ ~0.5 GB (the
+    38.5k-tri bench mesh at the default chunk would otherwise build a
+    10 GB intermediate). The pass runs once per camera pose, not per
+    sample, so the extra `lax.map` steps are immaterial."""
+    t = int(scene.triangles.count)
+    if t > 0:
+        chunk = min(chunk, max(256, (1 << 27) // t))
     return _aov_pass(scene, min(chunk, scene.camera.pixel_count))
 
 

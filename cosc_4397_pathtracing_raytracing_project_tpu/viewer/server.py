@@ -44,7 +44,7 @@ window.onmousemove = e => {
   fetch('/control', {method:'POST', body: JSON.stringify({type: kind, dx, dy})});
 };
 window.onkeydown = e => {
-  if (['s','S',' ','Escape'].includes(e.key))
+  if (['s','S',' ','Escape','d','D'].includes(e.key))
     fetch('/control', {method:'POST', body: JSON.stringify({type:'key', key:e.key})});
 };
 // Server-push display: /stream is a multipart/x-mixed-replace PNG stream
@@ -100,8 +100,14 @@ class PreviewServer:
         self._stop = threading.Event()
         self._render_thread = None
         self._httpd = None
-        self._frame_cache = ((-1, -1), b"")  # ((camera gen, iteration), png)
+        self._frame_cache = ((-1, -1), b"")  # (frame key, png)
         self._camera_gen = 0  # bumped on every camera rebuild
+        # 'd' toggles the À-Trous denoiser on the displayed frames (the
+        # accumulator itself stays untouched); the AOV pass is cached per
+        # camera generation — it only depends on the pose.
+        self._denoise = False
+        self._aovs = None
+        self._aovs_gen = -1
         self._frame_times: list = []  # recent distinct-frame timestamps
 
     # ── render loop (the mainLoop/runCuda analog) ──
@@ -132,11 +138,14 @@ class PreviewServer:
         # an unlocked pair read could cache a post-move frame under a
         # pre-move key for one tick.
         with self._lock:
-            key = (self._camera_gen, self.renderer.iteration)
+            key = (self._camera_gen, self.renderer.iteration, self._denoise)
             cached_key, cached = self._frame_cache
         if key == cached_key and cached:
             return key, cached
-        img = self.renderer.display_image()[:, ::-1, :]
+        if key[2]:
+            img = self._denoised_display(key[0])[:, ::-1, :]
+        else:
+            img = self.renderer.display_image()[:, ::-1, :]
         png = encode_png(img, compress_level=1)
         import time as _time
 
@@ -149,6 +158,24 @@ class PreviewServer:
 
     def frame_png(self) -> bytes:
         return self.frame_png_keyed()[1]
+
+    def _denoised_display(self, camera_gen: int):
+        """uint8 gamma view of the denoised accumulator mean. AOVs rebuild
+        only when the camera moved (they are pose-only); the filter itself
+        is ~40 ms on TPU at 800×800, fine at display cadence."""
+        import numpy as np
+
+        from ..render.denoise import atrous_denoise, render_aovs
+
+        if self._aovs is None or self._aovs_gen != camera_gen:
+            aovs = render_aovs(self.renderer.scene)
+            self._aovs, self._aovs_gen = aovs, camera_gen
+        lin = np.asarray(
+            atrous_denoise(self.renderer.linear_image(), self._aovs)
+        )
+        return (np.clip(lin, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(
+            np.uint8
+        )
 
     def display_fps(self) -> float:
         """Distinct preview frames served per second (the ImGui framerate
@@ -165,6 +192,7 @@ class PreviewServer:
             f"Path Tracer Analytics\n"
             f"iteration: {self.renderer.iteration}\n"
             f"display fps: {self.display_fps():.1f}\n"
+            f"denoise [d]: {'on' if self._denoise else 'off'}\n"
             + m.summary()
         )
 
@@ -179,8 +207,10 @@ class PreviewServer:
                 self.controls.pan(msg.get("dx", 0), msg.get("dy", 0))
             elif kind == "key":
                 key = msg.get("key")
-                if key in ("s", "S"):
-                    self.renderer.save_png()
+                if key in ("d", "D"):
+                    self._denoise = not self._denoise
+                elif key in ("s", "S"):
+                    self.renderer.save_png(denoise=self._denoise)
                 elif key == " ":
                     self.controls.recenter()
                 elif key == "Escape":

@@ -189,6 +189,31 @@ class TestAovPass:
             assert (d[m] == 0.0).all()
             np.testing.assert_allclose(a[m], 1.0)
 
+    def test_mesh_scene_aovs(self):
+        # triangle scenes route through the same pass (MT candidates are
+        # chunk-capped); the terrain mesh fills the lower view, sky above
+        import os
+
+        from cosc_4397_pathtracing_raytracing_project_tpu.scene import (
+            load_scene_desc,
+        )
+
+        path = os.path.join(HERE, "..", "scenes", "mesh1080p.txt")
+        if not os.path.exists(
+            os.path.join(HERE, "..", "scenes", "mesh_sphere.obj")
+        ):
+            pytest.skip("mesh OBJ fixtures not generated")
+        desc = load_scene_desc(path)
+        desc.camera.resolution = (48, 48)
+        aovs = render_aovs(Scene.from_desc(desc))
+        m = np.asarray(aovs.miss)
+        d = np.asarray(aovs.depth)
+        assert m.any() and (~m).any()  # both sky and terrain visible
+        assert (d[~m] > 0).all()
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(aovs.normal), axis=-1), 1.0, atol=1e-4
+        )
+
     def test_chunking_invariant(self):
         scene = _small(CORNELL, 64)
         full = render_aovs(scene, chunk=64 * 64)

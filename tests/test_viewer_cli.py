@@ -189,3 +189,43 @@ def test_preview_server(small_desc):
         assert buf.count(b"\x89PNG") >= 2
     finally:
         srv.stop()
+
+
+def test_preview_denoise_toggle(small_desc):
+    """'d' toggles the display denoiser: stats reflect it, frames still
+    serve (fresh bytes under the new frame key), and 'd' again restores."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.viewer.server import (
+        PreviewServer,
+    )
+
+    r = Renderer(small_desc, RenderConfig(samples_per_launch=2))
+    srv = PreviewServer(
+        r, lookat=small_desc.camera.lookat, host="127.0.0.1", port=0
+    )
+    srv.start(block=False)
+    try:
+        port = srv._httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+
+        def press_d():
+            req = urllib.request.Request(
+                base + "/control",
+                data=json.dumps({"type": "key", "key": "d"}).encode(),
+                method="POST",
+            )
+            urllib.request.urlopen(req, timeout=10).read()
+
+        def stats_text():
+            return json.loads(
+                urllib.request.urlopen(base + "/stats", timeout=10).read()
+            )["text"]
+
+        assert "denoise [d]: off" in stats_text()
+        press_d()
+        assert "denoise [d]: on" in stats_text()
+        frame = urllib.request.urlopen(base + "/frame.png", timeout=60).read()
+        assert frame[:4] == b"\x89PNG"
+        press_d()
+        assert "denoise [d]: off" in stats_text()
+    finally:
+        srv.stop()
