@@ -373,6 +373,7 @@ def _make_kernel(
     nee: tuple = None,
     dof: bool = False,
     ld: int = 0,  # number of leading LD bounce depths (0 = sampler off)
+    adaptive_grid: int = 0,  # K>0: per-grid-step tile ids/iter bases in scal
 ):
     # legacy mode's sky multiply keeps updating terminated lanes (quirk
     # parity), so an all-dead bounce is NOT a no-op there — never skip
@@ -392,9 +393,18 @@ def _make_kernel(
         # of the shard at pixel_offset seeds exactly like global tile
         # pixel_offset//TILE + t, so a TILE-aligned sharded render is
         # bit-identical to the single-device one.
-        tile = pl.program_id(0) + scal_ref[2]
+        if adaptive_grid:
+            # Adaptive sampling (render.adaptive): each grid step renders one
+            # *selected* tile — its global RNG tile key and its own 1-based
+            # iteration base come from per-step SMEM slots, so refined tiles
+            # continue their sample streams exactly where they left off.
+            g = pl.program_id(0)
+            tile = scal_ref[3 + g]
+            iter_base = scal_ref[3 + adaptive_grid + g]
+        else:
+            tile = pl.program_id(0) + scal_ref[2]
+            iter_base = scal_ref[1]
         seed = scal_ref[0]
-        iter_base = scal_ref[1]
 
         pos = [cam_ref[0], cam_ref[1], cam_ref[2]]
         view = [cam_ref[3], cam_ref[4], cam_ref[5]]
@@ -1519,6 +1529,177 @@ def render_samples(
         scene_static, tile_base,
         EARLY_EXIT or getattr(config, "early_exit", False),
         HOIST_PRIMARY, nee_static,
+    )
+
+
+def render_tiles(
+    scene: Scene,
+    config,
+    seed: jnp.ndarray,
+    tile_ids: jnp.ndarray,
+    iter_bases: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    num_samples: int,
+    interpret: bool = False,
+    geom_kinds=None,
+    scene_static=None,
+    nee_static=None,
+) -> jnp.ndarray:
+    """Render `num_samples` samples for K *selected* tiles in one dispatch
+    (the adaptive-sampling entry point — see render.adaptive).
+
+    `tile_ids` [K] int32 are the tiles' global RNG keys (any stable
+    assignment; render.adaptive uses the spatial-block index), `iter_bases`
+    [K] int32 each tile's next 1-based iteration, and `px`/`py`
+    [K·TILE_ROWS, LANES] f32 the pixel coordinates of each tile's lanes
+    (arbitrary layout — the caller owns pixel→lane assignment and scatters
+    the result back). Returns the [K·TILE, 3] radiance sum over the batch.
+    K is static (from the shapes); tile selection is data, so refining a
+    different tile set never recompiles."""
+    if geom_kinds is None:
+        geom_kinds = _static_geom_kinds(scene)
+    if scene_static is None:
+        scene_static = _static_scene_tables(scene)
+    if nee_static is None and getattr(config, "nee", False):
+        if config.gather_mode != "light_only":
+            raise ValueError("nee requires gather_mode='light_only'")
+        nee_static = _static_light_table(scene)
+        if nee_static is None:
+            raise ValueError(
+                "nee: scene has no analytic (cube/sphere) emissive lights"
+            )
+    if interpret:
+        interleave = 1
+    else:
+        interleave = max(
+            (d for d in range(1, INTERLEAVE + 1) if num_samples % d == 0),
+            default=1,
+        )
+    return _render_tiles_impl(
+        scene, config, seed, tile_ids, iter_bases, px, py, num_samples,
+        interpret, ABLATION, interleave, geom_kinds, scene_static,
+        EARLY_EXIT or getattr(config, "early_exit", False),
+        HOIST_PRIMARY, nee_static,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "num_samples", "interpret", "ablation", "interleave",
+        "geom_kinds", "scene_static", "early_exit", "hoist_primary",
+        "nee_static",
+    ),
+)
+def _render_tiles_impl(
+    scene: Scene,
+    config,
+    seed,
+    tile_ids,
+    iter_bases,
+    px,
+    py,
+    num_samples: int,
+    interpret: bool,
+    ablation: str,
+    interleave: int,
+    geom_kinds: tuple,
+    scene_static: tuple,
+    early_exit: bool,
+    hoist_primary: bool,
+    nee_static,
+) -> jnp.ndarray:
+    cam = scene.camera
+    w, h = cam.resolution
+    if getattr(config, "sampler", "independent") == "sobol" and (
+        w * h >= 1 << 24
+    ):
+        raise ValueError("sampler='sobol' supports at most 2^24 pixels")
+    k_tiles = tile_ids.shape[0]
+    rows = k_tiles * TILE_ROWS
+    if px.shape != (rows, LANES) or py.shape != (rows, LANES):
+        raise ValueError(
+            f"px/py must be [{rows}, {LANES}] for {k_tiles} tiles; "
+            f"got {px.shape}/{py.shape}"
+        )
+
+    geo, geo_mat, mats = _pack_scene(scene)
+    cam_vec = jnp.concatenate(
+        [cam.position, cam.view, cam.right, cam.up, cam.pixel_length,
+         cam.aperture[None], cam.focal[None]]
+    )
+    # scal layout: [seed, 0, 0, tile_ids[K], iter_bases[K]] — slots 1/2
+    # (iter_base / tile_base) are unused in adaptive mode but kept so the
+    # kernel's fixed offsets (3, 3+K) stay uniform with the dense path.
+    scal = jnp.concatenate(
+        [
+            jnp.stack(
+                [jnp.asarray(seed, jnp.int32), jnp.int32(0), jnp.int32(0)]
+            ),
+            jnp.asarray(tile_ids, jnp.int32).reshape(-1),
+            jnp.asarray(iter_bases, jnp.int32).reshape(-1),
+        ]
+    )
+
+    kernel = _make_kernel(
+        num_cubes=scene.cubes.count,
+        num_spheres=scene.spheres.count,
+        num_materials=scene.materials.color.shape[0],
+        trace_depth=config.trace_depth,
+        num_samples=num_samples,
+        rr_start_depth=config.rr_start_depth,
+        legacy=config.gather_mode == "throughput",
+        sky_strength=config.sky_strength,
+        antialias=config.antialias,
+        width=w,
+        height=h,
+        hw_prng=not interpret,
+        ablation=ablation,
+        interleave=interleave,
+        enable_refraction=getattr(config, "enable_refraction", False),
+        geom_kinds=geom_kinds,
+        geo_static=scene_static[0],
+        gmat_static=scene_static[1],
+        mat_static=scene_static[2],
+        early_exit=early_exit,
+        hoist_primary=hoist_primary,
+        nee=nee_static,
+        dof=bool(getattr(config, "dof", False)),
+        ld=(
+            max(1, int(getattr(config, "ld_depths", 1)))
+            if getattr(config, "sampler", "independent") == "sobol"
+            else 0
+        ),
+        adaptive_grid=k_tiles,
+    )
+
+    block = pl.BlockSpec(
+        (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_r, out_g, out_b = pl.pallas_call(
+        kernel,
+        grid=(k_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # geo
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # geo material ids
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # materials
+            block,  # px
+            block,  # py
+        ],
+        out_specs=(block, block, block),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )(scal, cam_vec, geo, geo_mat, mats, px, py)
+
+    return jnp.stack(
+        [out_r.reshape(-1), out_g.reshape(-1), out_b.reshape(-1)], axis=-1
     )
 
 

@@ -61,6 +61,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "filter — see render/denoise.py). Buys several dB "
                         "at low sample counts; a converged render passes "
                         "through nearly unchanged")
+    p.add_argument("--adaptive", action="store_true",
+                   help="variance-guided adaptive sampling (extension; see "
+                        "render/adaptive.py): uniform warmup, then "
+                        "refinement rounds that spend the remaining sample "
+                        "budget on the noisiest image tiles. Megakernel "
+                        "pipeline (analytic scenes); ITERATIONS becomes the "
+                        "average spp budget")
+    p.add_argument("--adaptive-frac", type=float, default=0.25,
+                   help="with --adaptive: fraction of tiles refined per "
+                        "round (default 0.25)")
+    p.add_argument("--adaptive-round", type=int, default=32,
+                   help="with --adaptive: samples per refined tile per "
+                        "round (default 32)")
     p.add_argument("--early-exit", action="store_true",
                    help="megakernel: skip bounces once a whole tile's lanes "
                         "terminate. Wins big on OPEN scenes (rays escape: "
@@ -140,6 +153,38 @@ def main(argv=None) -> int:
         print("error: --nee is not supported with --model wavefront",
               file=sys.stderr)
         return 2
+    if args.adaptive:
+        if args.model != "auto":
+            print("error: --adaptive runs its own (megakernel) pipeline; "
+                  "drop --model", file=sys.stderr)
+            return 2
+        if args.serve or args.resume or args.checkpoint:
+            print("error: --adaptive is headless-only (no --serve/"
+                  "--resume/--checkpoint)", file=sys.stderr)
+            return 2
+        from ..render.adaptive import AdaptiveRenderer
+
+        r = AdaptiveRenderer(desc, config, seed=args.seed)
+        target = args.iterations if args.iterations is not None else desc.iterations
+        r.render(
+            avg_spp=target,
+            round_spp=args.adaptive_round,
+            frac=args.adaptive_frac,
+            progress=not args.quiet,
+        )
+        r.sync()
+        if not args.quiet:
+            spp = r.spp_map()
+            print(
+                f"adaptive: {r.avg_spp:.1f} avg spp "
+                f"(min {spp.min()}, max {spp.max()}) — "
+                f"{r.samples_per_second / 1e6:.1f} M samples/s"
+            )
+        out = r.save_png(args.output, denoise=args.denoise)
+        if not args.quiet:
+            print(f"Saved {out}.")
+        return 0
+
     if args.model == "auto":
         renderer = Renderer(desc, config, seed=args.seed)
     else:

@@ -1,0 +1,154 @@
+"""Adaptive sampling (render.adaptive): layout, bookkeeping, estimator
+consistency, and the tile-selected kernel path — all in interpret mode on
+the 64×64 CORNELL_SMALL scene."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cosc_4397_pathtracing_raytracing_project_tpu import RenderConfig
+from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import megakernel
+from cosc_4397_pathtracing_raytracing_project_tpu.render.adaptive import (
+    AdaptiveRenderer,
+    make_tile_layout,
+)
+from cosc_4397_pathtracing_raytracing_project_tpu.scene import Scene, parse_scene
+
+from test_render import CORNELL_SMALL
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return Scene.from_desc(parse_scene(CORNELL_SMALL))
+
+
+def test_tile_layout_covers_frame_exactly_once():
+    w, h = 100, 70  # partial blocks on both axes
+    px, py, idx, valid = make_tile_layout(w, h, (32, 64))
+    assert px.shape == py.shape == idx.shape
+    assert px.shape[1] == megakernel.TILE
+    flat = idx.reshape(-1)
+    real = flat[flat < w * h]
+    # every pixel exactly once; padding lanes all map to the trash slot
+    assert np.array_equal(np.sort(real), np.arange(w * h))
+    assert valid.sum() == w * h
+    # coordinates agree with the scatter index on valid lanes
+    sel = idx < w * h
+    assert np.array_equal(
+        (py[sel].astype(np.int64) * w + px[sel].astype(np.int64)),
+        idx[sel],
+    )
+
+
+def test_tile_layout_rejects_wrong_area():
+    with pytest.raises(ValueError):
+        make_tile_layout(64, 64, (32, 32))
+
+
+def test_warmup_counts_and_mean(scene):
+    cfg = RenderConfig(trace_depth=2)
+    r = AdaptiveRenderer(scene, cfg, interpret=True)
+    r.warmup(2)
+    assert r.avg_spp == pytest.approx(2.0)
+    spp = r.spp_map()
+    assert spp.shape == (64, 64)
+    assert (spp == 2).all()
+    img = r.linear_image()
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all() and (img >= 0).all()
+    # the emissive ceiling light must be visible in the mean
+    assert img.max() > 0.5
+
+
+def test_refine_updates_only_selected_tiles(scene):
+    cfg = RenderConfig(trace_depth=2)
+    r = AdaptiveRenderer(scene, cfg, interpret=True)
+    r.warmup(2)
+    img_before = r.linear_image()
+    sel = r.refine(spp=2, frac=0.5)  # 1 of 2 tiles
+    assert len(sel) == 1
+    spp = r.spp_map()
+    assert sorted(np.unique(spp).tolist()) == [2, 4]
+    # unselected tile's accumulator (and so its mean) is untouched
+    img_after = r.linear_image()
+    untouched = spp == 2
+    assert np.array_equal(img_before[untouched], img_after[untouched])
+    assert r.avg_spp == pytest.approx(3.0)
+
+
+def test_adaptive_all_tiles_matches_dense_megakernel_depth1_sobol(scene):
+    """At trace_depth=1 with sampler='sobol' every random draw comes from
+    the pixel-keyed LD lattice, so the render is independent of the tile
+    decomposition: the adaptive path (spatial blocks, per-tile iteration
+    slots) must reproduce the dense megakernel render bit-exactly."""
+    cfg = RenderConfig(trace_depth=1, sampler="sobol", ld_depths=1)
+    k = 2
+    dense = np.asarray(
+        megakernel.render_samples(
+            scene, cfg, jnp.int32(7), jnp.int32(1), k, interpret=True
+        )
+    )
+
+    r = AdaptiveRenderer(scene, cfg, seed=0, interpret=True)
+    r._seed = jnp.int32(7)
+    r.warmup(2 * k)  # k into A, k into B: iterations 1..k then k+1..2k
+    total = np.asarray(r._acc_a[: r._n] + r._acc_b[: r._n])
+    # A holds iterations 1..k == the dense render's batch
+    a_only = np.asarray(r._acc_a[: r._n])
+    assert np.array_equal(a_only, dense)
+    assert np.isfinite(total).all()
+
+
+def test_render_budget_loop(scene):
+    cfg = RenderConfig(trace_depth=2)
+    r = AdaptiveRenderer(scene, cfg, interpret=True)
+    r.render(avg_spp=8, warmup_spp=4, round_spp=2, frac=0.5)
+    assert r.avg_spp >= 8.0
+    spp = r.spp_map()
+    assert spp.min() >= 4  # warmup floor
+    assert spp.max() > spp.min()  # refinement actually concentrated work
+
+
+def test_cli_adaptive_headless(tmp_path):
+    from cosc_4397_pathtracing_raytracing_project_tpu.utils.cli import main
+    from cosc_4397_pathtracing_raytracing_project_tpu.io.png import read_png
+
+    scene_path = tmp_path / "scene.txt"
+    scene_path.write_text(CORNELL_SMALL)
+    out = tmp_path / "out.png"
+    rc = main(
+        [
+            str(scene_path),
+            "--adaptive",
+            "--iterations", "6",
+            "--adaptive-round", "2",
+            "--adaptive-frac", "0.5",
+            "--depth", "2",
+            "--output", str(out),
+            "--quiet",
+        ]
+    )
+    assert rc == 0 and out.exists()
+    assert read_png(str(out)).shape == (64, 64, 3)
+    # incompatible-flag guards
+    assert main([str(scene_path), "--adaptive", "--model", "bvh"]) == 2
+    assert main([str(scene_path), "--adaptive", "--serve"]) == 2
+
+
+def test_adaptive_requires_megakernel_scene():
+    from cosc_4397_pathtracing_raytracing_project_tpu.scene.structs import (
+        TriangleBatch,
+    )
+
+    sc = Scene.from_desc(parse_scene(CORNELL_SMALL))
+    tri = TriangleBatch(
+        v0=jnp.zeros((1, 3), jnp.float32),
+        e1=jnp.asarray([[1.0, 0, 0]]),
+        e2=jnp.asarray([[0, 1.0, 0]]),
+        normal=jnp.asarray([[0, 0, 1.0]]),
+        material_id=jnp.zeros((1,), jnp.int32),
+        geom_index=jnp.zeros((1,), jnp.int32),
+    )
+    sc = sc.replace(triangles=tri)
+    with pytest.raises(ValueError, match="megakernel|analytic"):
+        AdaptiveRenderer(sc, RenderConfig())
