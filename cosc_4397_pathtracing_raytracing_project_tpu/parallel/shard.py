@@ -313,6 +313,70 @@ def make_sharded_mesh_step(
     )
 
 
+def render_tiles_sharded(
+    scene: Scene,
+    config: RenderConfig,
+    seed,
+    tile_ids,
+    iter_bases,
+    px,
+    py,
+    num_samples: int,
+    mesh: Mesh,
+    interpret: bool = False,
+    geom_kinds=None,
+    scene_static=None,
+    nee_static=None,
+):
+    """Multi-chip tile-selected megakernel dispatch (the adaptive-sampling
+    kernel entry, ops.pallas.megakernel.render_tiles) sharded over the
+    selected-tile axis.
+
+    Tiles are fully independent work items whose identity is *data* (per-
+    tile RNG key + iteration base ride in SMEM), so the K-tile dispatch
+    shards over ALL mesh devices at once — the leading axis splits over the
+    flattened ('sp','dp') axes, each rank running a K/n_devices-step grid on
+    its contiguous slice. No collective at all: the output radiance comes
+    back sharded over the same axis and the caller's scatter-add consumes
+    it. Bit-identical to the single-device dispatch by construction — each
+    tile's kernel sees exactly the same (seed, tile id, iter base, px, py).
+
+    K must divide by the mesh's device count (the adaptive driver rounds
+    its selection size up to guarantee this)."""
+    from ..ops.pallas import megakernel
+
+    n_dev = mesh.devices.size
+    k = tile_ids.shape[0]
+    if k % n_dev != 0:
+        raise ValueError(
+            f"selected tile count {k} not divisible by {n_dev} devices"
+        )
+    if geom_kinds is None:
+        geom_kinds = megakernel._static_geom_kinds(scene)
+    if scene_static is None:
+        scene_static = megakernel._static_scene_tables(scene)
+
+    tile_axes = (SAMPLE_AXIS, PIXEL_AXIS)
+
+    def body(scene, seed, ids, bases, px, py):
+        return megakernel.render_tiles(
+            scene, config, seed, ids, bases, px, py, num_samples,
+            interpret=interpret, geom_kinds=geom_kinds,
+            scene_static=scene_static, nee_static=nee_static,
+        )
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(tile_axes), P(tile_axes),
+                  P(tile_axes, None), P(tile_axes, None)),
+        out_specs=P(tile_axes, None),
+        check_vma=False,
+    )
+    scene = jax.device_put(scene, NamedSharding(mesh, P()))
+    return sharded(scene, seed, tile_ids, iter_bases, px, py)
+
+
 def make_sharded_step(
     scene: Scene,
     config: RenderConfig,

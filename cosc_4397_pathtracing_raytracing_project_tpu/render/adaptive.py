@@ -107,25 +107,36 @@ def _dispatch_ab(
     geom_kinds: tuple,
     scene_static: tuple,
     nee_static,
+    mesh=None,
 ):
     """Render k samples into BOTH half-buffers for the selected tiles in a
     single kernel dispatch: grid steps [0, K) advance buffer A's iteration
     window (base+1 … base+k), steps [K, 2K) buffer B's (base+k+1 …
     base+2k) — identical per-tile streams to two separate dispatches, at
     half the (remote-tunnel-dominated) dispatch count. K is static
-    (tile_ids' shape); the selection is data. Traced helper — callers
-    jit."""
+    (tile_ids' shape); the selection is data. With a device `mesh`, the 2K
+    grid steps shard over all devices (parallel.shard.render_tiles_sharded
+    — bit-identical, no collective). Traced helper — callers jit."""
     kk = tile_ids.shape[0]
     rows = 2 * kk * megakernel.TILE_ROWS
     ids2 = jnp.concatenate([tile_ids, tile_ids])
     bases2 = jnp.concatenate([base + 1, base + 1 + k])
     px = px_all[ids2].reshape(rows, megakernel.LANES)
     py = py_all[ids2].reshape(rows, megakernel.LANES)
-    rad = megakernel.render_tiles(
-        scene, config, seed, ids2, bases2, px, py, k,
-        interpret=interpret, geom_kinds=geom_kinds,
-        scene_static=scene_static, nee_static=nee_static,
-    )
+    if mesh is None:
+        rad = megakernel.render_tiles(
+            scene, config, seed, ids2, bases2, px, py, k,
+            interpret=interpret, geom_kinds=geom_kinds,
+            scene_static=scene_static, nee_static=nee_static,
+        )
+    else:
+        from ..parallel.shard import render_tiles_sharded
+
+        rad = render_tiles_sharded(
+            scene, config, seed, ids2, bases2, px, py, k, mesh,
+            interpret=interpret, geom_kinds=geom_kinds,
+            scene_static=scene_static, nee_static=nee_static,
+        )
     half = kk * megakernel.TILE
     flat_idx = idx_all[tile_ids].reshape(-1)
     acc_a = acc_a.at[flat_idx].add(rad[:half])
@@ -136,7 +147,7 @@ def _dispatch_ab(
 _warmup_step = partial(
     jax.jit,
     static_argnames=("config", "k", "interpret", "geom_kinds",
-                     "scene_static", "nee_static"),
+                     "scene_static", "nee_static", "mesh"),
     donate_argnums=(1, 2),
 )(_dispatch_ab)
 
@@ -174,7 +185,7 @@ def _tile_errors(
 @partial(
     jax.jit,
     static_argnames=("config", "k", "n_sel", "interpret", "geom_kinds",
-                     "scene_static", "nee_static"),
+                     "scene_static", "nee_static", "mesh"),
     donate_argnums=(1, 2, 3),
 )
 def _refine_round(
@@ -194,6 +205,7 @@ def _refine_round(
     geom_kinds: tuple,
     scene_static: tuple,
     nee_static,
+    mesh=None,
 ):
     """One fully device-resident refinement round: estimate per-tile noise,
     pick the `n_sel` tiles with the largest marginal MSE gain (lax.top_k),
@@ -209,7 +221,7 @@ def _refine_round(
     acc_a, acc_b = _dispatch_ab(
         scene, acc_a, acc_b, seed, sel, counts[sel] * 2,
         px_all, py_all, idx_all, config, k, interpret, geom_kinds,
-        scene_static, nee_static,
+        scene_static, nee_static, mesh,
     )
     counts = counts.at[sel].add(k)
     return acc_a, acc_b, counts, sel
@@ -237,6 +249,7 @@ class AdaptiveRenderer:
         seed: int = 0,
         tile_shape: Tuple[int, int] = (32, 64),
         interpret: Optional[bool] = None,
+        mesh=None,
     ):
         if isinstance(scene, str):
             desc = load_scene_desc(scene)
@@ -271,6 +284,16 @@ class AdaptiveRenderer:
         self._n = w * h
         px, py, idx, valid = make_tile_layout(w, h, tile_shape)
         self.num_tiles = px.shape[0]
+        # multi-chip: the A/B warmup dispatch is a 2·T-step grid sharded
+        # over every mesh device (parallel.shard.render_tiles_sharded);
+        # refinement rounds round their selection up to the device count
+        self._mesh = mesh
+        self._n_dev = 1 if mesh is None else int(mesh.devices.size)
+        if (2 * self.num_tiles) % self._n_dev != 0:
+            raise ValueError(
+                f"2×{self.num_tiles} tiles not divisible by "
+                f"{self._n_dev} mesh devices"
+            )
         self._px_all = jnp.asarray(px)
         self._py_all = jnp.asarray(py)
         self._idx_all = jnp.asarray(idx)
@@ -312,7 +335,7 @@ class AdaptiveRenderer:
             self.scene, self._acc_a, self._acc_b, self._seed, ids,
             self._counts * 2, self._px_all, self._py_all, self._idx_all,
             self.config, k, self._interpret, self._geom_kinds,
-            self._scene_static, self._nee_static,
+            self._scene_static, self._nee_static, self._mesh,
         )
         self._counts = self._counts + jnp.int32(k)
         self._lane_budget_spent += 2 * k * self.num_tiles * megakernel.TILE
@@ -336,12 +359,18 @@ class AdaptiveRenderer:
         inspect it pay for the sync)."""
         k = max(1, spp // 2)
         n_sel = max(1, int(round(self.num_tiles * frac)))
+        # sharded: the 2·n_sel-step dispatch must split evenly over the
+        # mesh, so round the selection up to a multiple of n_dev (n_dev
+        # odd) or n_dev/2 (even). num_tiles itself is such a multiple
+        # (checked at init), so the clamp preserves divisibility.
+        m = self._n_dev if self._n_dev % 2 else self._n_dev // 2
+        n_sel = min(-(-n_sel // m) * m, self.num_tiles)
         t0 = time.perf_counter()
         self._acc_a, self._acc_b, self._counts, sel = _refine_round(
             self.scene, self._acc_a, self._acc_b, self._counts, self._seed,
             self._px_all, self._py_all, self._idx_all, self._valid,
             self.config, k, n_sel, self._interpret, self._geom_kinds,
-            self._scene_static, self._nee_static,
+            self._scene_static, self._nee_static, self._mesh,
         )
         self._lane_budget_spent += 2 * k * n_sel * megakernel.TILE
         self._wall += time.perf_counter() - t0
