@@ -397,9 +397,10 @@ class AdaptiveRenderer:
         q = 2 if self._interpret else 2 * megakernel.INTERLEAVE
         warmup_spp = max(q, (warmup_spp // q) * q)
         round_spp = max(q, (round_spp // q) * q)
-        self.warmup(warmup_spp)
-        if progress:
-            print(f"warmup {warmup_spp} spp on {self.num_tiles} tiles")
+        if self._lane_budget_spent == 0:  # fresh start (not a resume)
+            self.warmup(warmup_spp)
+            if progress:
+                print(f"warmup {warmup_spp} spp on {self.num_tiles} tiles")
         while self._lane_budget_spent < budget:
             sel = self.refine(round_spp, frac)
             if progress:
@@ -465,6 +466,38 @@ class AdaptiveRenderer:
             )
         write_png(path, img)
         return path
+
+    # ── checkpoint / resume (same contract as Renderer: per-tile iteration
+    # counters key every stream, so resume is bit-identical) ──
+
+    def save_checkpoint(self, path: str) -> str:
+        from .checkpoint import save_adaptive_checkpoint
+
+        meta = {
+            "image_name": self.image_name,
+            "resolution": list(map(int, self.scene.camera.resolution)),
+            "num_tiles": int(self.num_tiles),
+        }
+        return save_adaptive_checkpoint(path, self, meta)
+
+    def load_checkpoint(self, path: str) -> "AdaptiveRenderer":
+        from .checkpoint import load_adaptive_checkpoint
+
+        state, meta = load_adaptive_checkpoint(path)
+        if state["acc_a"].shape != self._acc_a.shape or (
+            state["counts"].shape[0] != self.num_tiles
+        ):
+            raise ValueError(
+                f"checkpoint layout ({state['acc_a'].shape[0] - 1} pixels, "
+                f"{state['counts'].shape[0]} tiles) does not match renderer "
+                f"({self._n} pixels, {self.num_tiles} tiles)"
+            )
+        self._acc_a = state["acc_a"]
+        self._acc_b = state["acc_b"]
+        self._counts = state["counts"]
+        self._seed = state["seed"]
+        self._lane_budget_spent = state["budget_spent"]
+        return self
 
     def sync(self) -> None:
         np.asarray(self._acc_a[0, 0])

@@ -158,13 +158,17 @@ def main(argv=None) -> int:
             print("error: --adaptive runs its own (megakernel) pipeline; "
                   "drop --model", file=sys.stderr)
             return 2
-        if args.serve or args.resume or args.checkpoint:
-            print("error: --adaptive is headless-only (no --serve/"
-                  "--resume/--checkpoint)", file=sys.stderr)
+        if args.serve:
+            print("error: --adaptive is headless-only (no --serve)",
+                  file=sys.stderr)
             return 2
         from ..render.adaptive import AdaptiveRenderer
 
         r = AdaptiveRenderer(desc, config, seed=args.seed)
+        if args.resume:
+            r.load_checkpoint(args.resume)
+            if not args.quiet:
+                print(f"resumed at {r.avg_spp:.1f} avg spp")
         target = args.iterations if args.iterations is not None else desc.iterations
         r.render(
             avg_spp=target,
@@ -180,6 +184,10 @@ def main(argv=None) -> int:
                 f"(min {spp.min()}, max {spp.max()}) — "
                 f"{r.samples_per_second / 1e6:.1f} M samples/s"
             )
+        if args.checkpoint:
+            r.save_checkpoint(args.checkpoint)
+            if not args.quiet:
+                print(f"Checkpoint at {args.checkpoint}")
         out = r.save_png(args.output, denoise=args.denoise)
         if not args.quiet:
             print(f"Saved {out}.")

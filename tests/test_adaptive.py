@@ -195,6 +195,99 @@ def test_sharded_adaptive_rejects_indivisible_tiles(scene):
         AdaptiveRenderer(scene, RenderConfig(), interpret=True, mesh=mesh)
 
 
+def test_adaptive_checkpoint_resume_bit_identical(scene, tmp_path):
+    """Save mid-render, resume in a fresh instance, finish: per-tile
+    iteration counters key every stream, so the result must be bit-exact
+    vs an uninterrupted run."""
+    cfg = RenderConfig(trace_depth=2)
+    straight = AdaptiveRenderer(scene, cfg, interpret=True)
+    straight.warmup(4)
+    straight.refine(spp=2, frac=0.5)
+    straight.refine(spp=2, frac=0.5)
+
+    r = AdaptiveRenderer(scene, cfg, interpret=True)
+    r.warmup(4)
+    r.refine(spp=2, frac=0.5)
+    ckpt = r.save_checkpoint(str(tmp_path / "adaptive.npz"))
+
+    r2 = AdaptiveRenderer(scene, cfg, interpret=True).load_checkpoint(ckpt)
+    assert r2.avg_spp == r.avg_spp
+    r2.refine(spp=2, frac=0.5)
+
+    assert np.array_equal(np.asarray(straight._acc_a), np.asarray(r2._acc_a))
+    assert np.array_equal(np.asarray(straight._acc_b), np.asarray(r2._acc_b))
+    assert np.array_equal(
+        np.asarray(straight._counts), np.asarray(r2._counts)
+    )
+
+
+def test_adaptive_render_resumes_without_rewarmup(scene, tmp_path):
+    """render() on a resumed instance tops up to the total budget without
+    re-running the uniform warmup."""
+    cfg = RenderConfig(trace_depth=2)
+    r = AdaptiveRenderer(scene, cfg, interpret=True)
+    r.render(avg_spp=4, warmup_spp=4, round_spp=2, frac=0.5)
+    ckpt = r.save_checkpoint(str(tmp_path / "a.npz"))
+    r2 = AdaptiveRenderer(scene, cfg, interpret=True).load_checkpoint(ckpt)
+    spent_before = r2._lane_budget_spent
+    r2.render(avg_spp=8, warmup_spp=4, round_spp=2, frac=0.5)
+    assert r2.avg_spp >= 8.0
+    # no second uniform pass: a re-warmup would add 4 spp to EVERY pixel
+    # (min >= 8); refinement rounds may still touch low-variance tiles,
+    # so the min can creep above 4 — but only in round_spp steps.
+    assert r2.spp_map().min() < 8
+    assert r2._lane_budget_spent > spent_before
+
+
+def test_checkpoint_kind_mismatch_raises(scene, tmp_path):
+    from cosc_4397_pathtracing_raytracing_project_tpu.render.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.render.state import (
+        RenderState,
+    )
+
+    cfg = RenderConfig(trace_depth=2)
+    r = AdaptiveRenderer(scene, cfg, interpret=True)
+    r.warmup(2)
+    adaptive_ckpt = r.save_checkpoint(str(tmp_path / "adaptive.npz"))
+    with pytest.raises(ValueError, match="adaptive"):
+        load_checkpoint(adaptive_ckpt)
+
+    uniform_ckpt = save_checkpoint(
+        str(tmp_path / "uniform.npz"), RenderState.create(64 * 64, seed=0)
+    )
+    with pytest.raises(ValueError, match="uniform"):
+        AdaptiveRenderer(scene, cfg, interpret=True).load_checkpoint(
+            uniform_ckpt
+        )
+    # layout mismatch: same kind, different frame
+    with pytest.raises(ValueError, match="does not match"):
+        wide = CORNELL_SMALL.replace("RES 64 64", "RES 128 64")
+        AdaptiveRenderer(
+            Scene.from_desc(parse_scene(wide)), cfg, interpret=True
+        ).load_checkpoint(adaptive_ckpt)
+
+
+def test_cli_adaptive_checkpoint_resume(tmp_path):
+    from cosc_4397_pathtracing_raytracing_project_tpu.utils.cli import main
+
+    scene_path = tmp_path / "scene.txt"
+    scene_path.write_text(CORNELL_SMALL)
+    ckpt = tmp_path / "ck.npz"
+    out1 = tmp_path / "o1.png"
+    args = [str(scene_path), "--adaptive", "--adaptive-round", "2",
+            "--adaptive-frac", "0.5", "--depth", "2", "--quiet"]
+    rc = main(args + ["--iterations", "4", "--checkpoint", str(ckpt),
+                      "--output", str(out1)])
+    assert rc == 0 and ckpt.exists()
+    out2 = tmp_path / "o2.png"
+    rc = main(args + ["--iterations", "8", "--resume", str(ckpt),
+                      "--output", str(out2)])
+    assert rc == 0 and out2.exists()
+
+
 def test_adaptive_requires_megakernel_scene():
     from cosc_4397_pathtracing_raytracing_project_tpu.scene.structs import (
         TriangleBatch,
