@@ -172,6 +172,77 @@ def read_png(path: str) -> np.ndarray:
     return scan.reshape(height, width, channels)
 
 
+def read_hdr(path: str) -> np.ndarray:
+    """Radiance RGBE HDR reader → [H, W, 3] float32 linear radiance.
+
+    Counterpart of :func:`write_hdr` (the reference only ever *writes* HDR,
+    `image.cpp:41-45` via stb; reading is needed for the environment-map
+    lighting extension). Handles both layouts found in the wild: flat RGBE
+    scanlines (what :func:`write_hdr` emits) and the adaptive RLE scanlines
+    stb/Radiance tools write for widths in [8, 32768)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise ValueError(f"{path}: not a Radiance HDR file")
+    # header: lines until the blank separator, then the resolution line
+    pos = data.index(b"\n") + 1
+    while True:
+        end = data.index(b"\n", pos)
+        line = data[pos:end]
+        pos = end + 1
+        if line == b"":
+            break
+        if line.startswith(b"FORMAT=") and b"rgbe" not in line:
+            raise ValueError(f"{path}: unsupported FORMAT {line!r}")
+    end = data.index(b"\n", pos)
+    res = data[pos:end].split()
+    pos = end + 1
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(f"{path}: unsupported orientation {res!r}")
+    h, w = int(res[1]), int(res[3])
+
+    raw = np.frombuffer(data, np.uint8, offset=pos)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    if not (8 <= w < 32768) or len(raw) < 4 or not (
+        raw[0] == 2 and raw[1] == 2 and ((int(raw[2]) << 8) | int(raw[3])) == w
+    ):
+        # flat layout: h*w RGBE quads
+        if len(raw) < h * w * 4:
+            raise ValueError(f"{path}: truncated flat scanlines")
+        rgbe = raw[: h * w * 4].reshape(h, w, 4)
+    else:
+        off = 0
+        for y in range(h):
+            if not (
+                raw[off] == 2
+                and raw[off + 1] == 2
+                and ((int(raw[off + 2]) << 8) | int(raw[off + 3])) == w
+            ):
+                raise ValueError(f"{path}: bad RLE scanline header at row {y}")
+            off += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = int(raw[off])
+                    off += 1
+                    if count > 128:  # run of one repeated byte
+                        rgbe[y, x : x + count - 128, c] = raw[off]
+                        off += 1
+                        x += count - 128
+                    else:  # literal dump of `count` bytes
+                        rgbe[y, x : x + count, c] = raw[off : off + count]
+                        off += count
+                        x += count
+
+    exp = rgbe[..., 3].astype(np.int32)
+    # value = mantissa/256 · 2^(e−128)  (stb's ldexp(c, e−136) convention;
+    # exact inverse of write_hdr's mant·256 encoding up to quantization)
+    scale = np.where(exp > 0, np.ldexp(1.0 / 256.0, exp - 128), 0.0).astype(
+        np.float32
+    )
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
+
+
 def write_hdr(path: str, image: np.ndarray) -> str:
     """Radiance RGBE HDR writer (`image::saveHDR`, `image.cpp:41-45`).
     Expects [H, W, 3] float32 linear radiance; uses uncompressed RGBE

@@ -108,6 +108,7 @@ def trace_sample_wavefront(
             config.rr_start_depth,
             gather_mode=config.gather_mode,
             sky_strength=config.sky_strength,
+            env=scene.envmap,
         )
         radiance = radiance + contrib
         if compaction == "sort_alive":

@@ -42,9 +42,12 @@ _ORIGIN_OFFSET = 1e-3
 
 
 def supports(scene: Scene) -> bool:
+    # envmap scenes run the readable wavefront (the HDR gather/searchsorted
+    # ops live there; in-kernel env lookup is future work)
     return (
         scene.triangles.count == 0
         and 0 < scene.cubes.count + scene.spheres.count <= MAX_UNROLL
+        and scene.envmap is None
     )
 
 
@@ -650,6 +653,7 @@ def supports_mesh(scene: Scene) -> bool:
     return (
         scene.triangles.count > 0
         and scene.cubes.count + scene.spheres.count <= MAX_UNROLL
+        and scene.envmap is None
     )
 
 

@@ -111,6 +111,15 @@ def nee_uniforms(base_key: jax.Array, iteration, depth, n: int) -> jax.Array:
     return jax.random.uniform(key, (n, 3), jnp.float32)
 
 
+def env_uniforms(base_key: jax.Array, iteration, depth, n: int) -> jax.Array:
+    """``[n, 2]`` uniforms for environment-map importance sampling
+    (ops/envmap.py: flat-CDF texel pick + intra-texel v offset). A separate
+    fold tag keeps every existing stream bit-identical whether or not the
+    scene carries an ENVIRONMENT block."""
+    key = jax.random.fold_in(bounce_key(base_key, iteration, depth), 0xE271)
+    return jax.random.uniform(key, (n, 2), jnp.float32)
+
+
 def pixel_jitter(base_key: jax.Array, iteration, n: int) -> jax.Array:
     """``[n, 2]`` sub-pixel jitter for antialiasing (extension: the reference
     generates rays through pixel corners with no jitter, `pathtrace.cu:278-282`)."""

@@ -99,6 +99,8 @@ def shade_step(
     enable_refraction: bool = False,
     nee=None,
     prev_pdf: jnp.ndarray = None,
+    env=None,
+    env_nee=None,
 ):
     """One masked shade/extend pass. Returns ``(new_paths, radiance_contrib)``
     — or, when ``nee`` (an :class:`~..ops.lights.NEEInputs`) is given,
@@ -110,6 +112,12 @@ def shade_step(
 
     ``uniforms`` is [N, rng.NUM_LANES]; ``depth`` is the 0-based bounce
     counter (scalar, may be traced).
+
+    ``env`` (an :class:`~..ops.envmap.EnvMap`) swaps the gradient sky for
+    an HDR environment lookup; ``env_nee`` (an
+    :class:`~..ops.envmap.EnvNEEInputs`) additionally importance-samples
+    the environment at every diffuse-capable vertex with its own MIS pair
+    against BRDF sampling (returns the 3-tuple form, like ``nee``).
 
     gather_mode selects the estimator:
 
@@ -136,15 +144,24 @@ def shade_step(
     if gather_mode not in ("throughput", "light_only"):
         raise ValueError(f"unknown gather_mode {gather_mode!r}")
     legacy = gather_mode == "throughput"
-    if nee is not None and legacy:
+    if (nee is not None or env_nee is not None) and legacy:
         raise ValueError("nee requires gather_mode='light_only'")
+    carry_pdf = nee is not None or env_nee is not None
 
     alive = paths.alive
     missed = hit.miss
     contrib = jnp.zeros_like(paths.color)
 
     # ── miss / dead early-out (`pathtrace.cu:356-365`) ──
-    sky = sampling.sky_color(paths.direction)
+    # Extension: an ENVIRONMENT-block scene replaces the reference's
+    # hard-coded gradient with an HDR map lookup (ops/envmap.py); the
+    # estimator structure is unchanged.
+    if env is not None:
+        from . import envmap as envmap_ops
+
+        sky = envmap_ops.env_radiance(env, paths.direction)
+    else:
+        sky = sampling.sky_color(paths.direction)
     if legacy:
         # Sky multiplies on every miss, even for already-dead lanes (see
         # module docstring); termination zeroes the bounce counter.
@@ -153,7 +170,24 @@ def shade_step(
         # Correct estimator: an escaping path contributes the environment
         # radiance once (only while alive) and is done.
         color = paths.color
-        if sky_strength:
+        if env is not None:
+            esc = color * sky
+            if env_nee is not None:
+                # MIS partner of env importance sampling: a BRDF-sampled
+                # escape competes with the env sampler having produced the
+                # same direction (both densities in solid angle); primary/
+                # specular/glass rays (prev_pdf < 0) keep weight 1.
+                from . import envmap as envmap_ops
+
+                p_env = envmap_ops.env_pdf(env, paths.direction)
+                w_esc = jnp.where(
+                    prev_pdf < 0.0,
+                    1.0,
+                    prev_pdf / jnp.maximum(prev_pdf + p_env, 1e-20),
+                )
+                esc = esc * w_esc[:, None]
+            contrib = jnp.where((missed & alive)[:, None], esc, contrib)
+        elif sky_strength:
             contrib = jnp.where(
                 (missed & alive)[:, None],
                 color * sky * jnp.float32(sky_strength),
@@ -296,6 +330,41 @@ def shade_step(
             (base & facing & visible)[:, None], contrib + direct, contrib
         )
 
+    if env_nee is not None:
+        # ── direct environment light at this vertex (extension;
+        # ops/envmap.py) — same estimator shape as the area-light NEE
+        # above, with the light pdf in SOLID-ANGLE measure (no distance
+        # geometry term) and visibility = "the shadow ray escapes the
+        # scene entirely". The two NEE techniques cover disjoint radiance
+        # sources (emissive surfaces vs the infinite environment), so each
+        # forms its own MIS pair with BRDF sampling.
+        from . import envmap as envmap_ops
+
+        inv_pi = jnp.float32(0.3183098861837907)
+        base = act & ~glass_mask
+        sx = hit.point + hit.normal * _ORIGIN_OFFSET
+        wi, _le_nearest, pdf_e = envmap_ops.sample_env(
+            env_nee.env, env_nee.uniforms[:, 0], env_nee.uniforms[:, 1]
+        )
+        # BOTH techniques must integrate the same L: use the same bilinear
+        # lookup as the miss path (mixing nearest-texel radiance here with
+        # bilinear there would make the MIS weights sum to 1 against two
+        # different integrands — biased wherever they disagree)
+        le = envmap_ops.env_radiance(env_nee.env, wi)
+        cos_s = linalg.dot(hit.normal, wi)
+        sh = env_nee.shadow_isect(sx, wi)
+        visible = sh.miss
+        diffuse_prob = 1.0 - reflectivity
+        w_diff = diffuse_prob[:, None] * mat["color"] * inv_pi
+        p_brdf = diffuse_prob * jnp.maximum(cos_s, 0.0) * inv_pi
+        w_mis = pdf_e / jnp.maximum(pdf_e + p_brdf, 1e-20)
+        direct = color * w_diff * (
+            jnp.maximum(cos_s, 0.0) / jnp.maximum(pdf_e, 1e-20) * w_mis
+        )[:, None] * le
+        contrib = jnp.where(
+            (base & (cos_s > 0.0) & visible)[:, None], contrib + direct, contrib
+        )
+
     color = jnp.where(act[:, None], color * tint, color)
     origin = jnp.where(act[:, None], new_origin, paths.origin)
     direction = jnp.where(act[:, None], new_dir, paths.direction)
@@ -304,7 +373,7 @@ def shade_step(
     new_paths = PathState(
         origin=origin, direction=direction, color=color, bounces=bounces
     )
-    if nee is not None:
+    if carry_pdf:
         # Density with which THIS vertex's lobe choice generated the
         # extension ray: diffuse lanes carry (1−P)·cosθ/π for the next
         # emissive hit's MIS weight; specular/glass lobes are treated as

@@ -216,12 +216,15 @@ def trace_sample(
     n = num_pixels if num_pixels is not None else cam.pixel_count
     isect = intersector if intersector is not None else intersect_scene
 
-    use_nee = config.nee
-    if use_nee and light_sampler is None:
+    env = scene.envmap
+    use_area_nee = config.nee and light_sampler is not None
+    use_env_nee = config.nee and env is not None
+    use_nee = use_area_nee or use_env_nee
+    if config.nee and not use_nee:
         raise ValueError(
             "config.nee=True needs a light_sampler "
             "(ops.lights.make_light_sampler on the concrete scene; the "
-            "Renderer builds one automatically)"
+            "Renderer builds one automatically) or an ENVIRONMENT map"
         )
 
     # sampler='sobol': the first-vertex dimensions draw per-pixel shifted
@@ -256,17 +259,27 @@ def trace_sample(
         )
         hit = isect(scene, paths.origin, paths.direction)
         if use_nee:
-            from ..ops.lights import NEEInputs
+            nee = env_nee = None
+            if use_area_nee:
+                from ..ops.lights import NEEInputs
 
-            nee = NEEInputs(
-                sampler=light_sampler,
-                shadow_isect=lambda o, d: isect(scene, o, d),
-                uniforms=(
-                    nee_u
-                    if nee_u is not None
-                    else rng_ops.nee_uniforms(base_key, iteration, depth, n)
-                ),
-            )
+                nee = NEEInputs(
+                    sampler=light_sampler,
+                    shadow_isect=lambda o, d: isect(scene, o, d),
+                    uniforms=(
+                        nee_u
+                        if nee_u is not None
+                        else rng_ops.nee_uniforms(base_key, iteration, depth, n)
+                    ),
+                )
+            if use_env_nee:
+                from ..ops.envmap import EnvNEEInputs
+
+                env_nee = EnvNEEInputs(
+                    env=env,
+                    shadow_isect=lambda o, d: isect(scene, o, d),
+                    uniforms=rng_ops.env_uniforms(base_key, iteration, depth, n),
+                )
             paths, contrib, prev_pdf = shade_step(
                 paths,
                 hit,
@@ -279,6 +292,8 @@ def trace_sample(
                 enable_refraction=config.enable_refraction,
                 nee=nee,
                 prev_pdf=prev_pdf,
+                env=env,
+                env_nee=env_nee,
             )
         else:
             paths, contrib = shade_step(
@@ -291,6 +306,7 @@ def trace_sample(
                 gather_mode=config.gather_mode,
                 sky_strength=config.sky_strength,
                 enable_refraction=config.enable_refraction,
+                env=env,
             )
         return (paths, radiance + contrib, prev_pdf), None
 
@@ -551,10 +567,11 @@ class Renderer:
                 from ..ops.lights import make_light_sampler
 
                 sampler = make_light_sampler(self.scene)
-                if sampler is None:
+                if sampler is None and self.scene.envmap is None:
                     raise ValueError(
                         "config.nee=True but the scene has no emissive "
-                        "analytic (cube/sphere) lights to sample"
+                        "analytic (cube/sphere) lights and no ENVIRONMENT "
+                        "map to sample"
                     )
 
             def _chunk(scene, state, config, num_samples):

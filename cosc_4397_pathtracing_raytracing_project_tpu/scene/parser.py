@@ -67,6 +67,8 @@ def parse_scene(text: str, base_dir: str = ".") -> SceneDesc:
     iterations = 0
     trace_depth = 8
     image_name = "render"
+    env_image = None
+    env_strength = 1.0
 
     while True:
         line = cur.next_line()
@@ -215,6 +217,34 @@ def parse_scene(text: str, base_dir: str = ".") -> SceneDesc:
                     }
                 )
 
+        elif head == "ENVIRONMENT":
+            # extension block (no reference counterpart — its sky is
+            # hard-coded, `pathtrace.cu:358-362`): an equirectangular
+            # Radiance HDR environment light.
+            #   ENVIRONMENT
+            #   FILE <map.hdr>     (path relative to the scene file)
+            #   STRENGTH <s>       (optional radiance multiplier, default 1)
+            env_file = None
+            while True:
+                pline = cur.next_line()
+                if pline is None or not pline.strip():
+                    break
+                ptoks = pline.split()
+                if ptoks[0] == "FILE":
+                    env_file = ptoks[1]
+                elif ptoks[0] == "STRENGTH":
+                    env_strength = float(ptoks[1])
+            if env_file is None:
+                raise SceneParseError("ENVIRONMENT block requires a FILE line")
+            from ..io.png import read_hdr
+
+            try:
+                env_image = read_hdr(os.path.join(base_dir, env_file))
+            except FileNotFoundError as e:
+                raise SceneParseError(
+                    f"ENVIRONMENT FILE not found: {env_file}"
+                ) from e
+
     if camera is None:
         raise SceneParseError("scene has no CAMERA block")
 
@@ -261,6 +291,8 @@ def parse_scene(text: str, base_dir: str = ".") -> SceneDesc:
         image_name=image_name,
         tri_vertices=np.concatenate(tri_vertices) if tri_vertices else None,
         tri_material_id=np.concatenate(tri_material_id) if tri_material_id else None,
+        env_image=env_image,
+        env_strength=env_strength,
     )
     return desc
 

@@ -79,6 +79,10 @@ class SceneDesc:
     # triangle mesh extension (empty for reference-format scenes)
     tri_vertices: Optional[np.ndarray] = None  # (T, 3, 3) world-space
     tri_material_id: Optional[np.ndarray] = None  # (T,) int32
+    # environment-map extension (ENVIRONMENT block; ops/envmap.py) — the
+    # reference's environment is a hard-coded gradient (`pathtrace.cu:358-362`)
+    env_image: Optional[np.ndarray] = None  # (H, W, 3) f32 linear radiance
+    env_strength: float = 1.0
 
     @property
     def num_geoms(self) -> int:
@@ -179,6 +183,12 @@ class Scene(struct.PyTreeNode):
     triangles: TriangleBatch
     materials: Materials
     camera: Camera
+    # environment-map extension (None = the reference's gradient sky).
+    # Typed loosely to avoid a scene→ops import at class-definition time;
+    # holds an ops.envmap.EnvMap pytree when the scene has an ENVIRONMENT
+    # block. None is an empty pytree, so reference-format scenes keep their
+    # exact jit signatures.
+    envmap: Optional[object] = None
 
     @classmethod
     def from_desc(cls, desc: SceneDesc) -> "Scene":
@@ -222,12 +232,18 @@ class Scene(struct.PyTreeNode):
             ior=jnp.asarray(desc.ior, jnp.float32),
             emittance=jnp.asarray(desc.emittance, jnp.float32),
         )
+        env = None
+        if desc.env_image is not None:
+            from ..ops.envmap import build_envmap
+
+            env = build_envmap(desc.env_image, desc.env_strength)
         return cls(
             cubes=batch(CUBE),
             spheres=batch(SPHERE),
             triangles=tris,
             materials=materials,
             camera=derive_camera(desc.camera),
+            envmap=env,
         )
 
     @property

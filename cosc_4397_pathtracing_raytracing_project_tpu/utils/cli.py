@@ -43,6 +43,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "version of the reference's dead dev_lightPositions). "
                         "light_only estimator; in-kernel on the megakernel, "
                         "SoA fast path or wavefront elsewhere")
+    p.add_argument("--envmap", default=None,
+                   help="HDR environment map path (extension; equivalent to "
+                        "an ENVIRONMENT block in the scene file — replaces "
+                        "the hard-coded gradient sky with an equirect "
+                        "Radiance HDR light; combine with --nee for "
+                        "importance-sampled IBL)")
+    p.add_argument("--env-strength", type=float, default=None,
+                   help="environment radiance multiplier (default 1, or the "
+                        "scene's STRENGTH line)")
     p.add_argument("--sampler", default="independent",
                    choices=["independent", "sobol"],
                    help="sample generator (extension; the reference only "
@@ -115,6 +124,16 @@ def main(argv=None) -> int:
     from ..scene.parser import load_scene_desc
 
     desc = load_scene_desc(args.scene)
+    if args.envmap is not None:
+        from ..io.png import read_hdr
+
+        desc.env_image = read_hdr(args.envmap)
+    if args.env_strength is not None:
+        if desc.env_image is None:
+            print("error: --env-strength needs --envmap or an ENVIRONMENT "
+                  "block", file=sys.stderr)
+            return 2
+        desc.env_strength = float(args.env_strength)
     if args.aperture is not None:
         desc.camera.aperture = float(args.aperture)
     if args.focal is not None:
