@@ -42,12 +42,9 @@ _ORIGIN_OFFSET = 1e-3
 
 
 def supports(scene: Scene) -> bool:
-    # envmap scenes run the readable wavefront (the HDR gather/searchsorted
-    # ops live there; in-kernel env lookup is future work)
     return (
         scene.triangles.count == 0
         and 0 < scene.cubes.count + scene.spheres.count <= MAX_UNROLL
-        and scene.envmap is None
     )
 
 
@@ -300,20 +297,28 @@ def trace_sample_fast(
     With ``config.nee`` a ``light_sampler`` (ops.lights.make_light_sampler
     on the concrete scene) must be supplied; direct light sampling + MIS
     then runs per bounce, estimator-identical to ops.shade.shade_step's
-    nee branch (componentwise SoA form)."""
+    nee branch (componentwise SoA form). Environment-map scenes
+    (scene.envmap) swap the gradient sky for the HDR lookup and, with
+    ``config.nee``, importance-sample the map (ops/envmap.py) — the SoA
+    twin of shade_step's env branches."""
     from . import rng as rng_ops
 
     cam = scene.camera
     w, h = cam.resolution
     n = num_pixels if num_pixels is not None else cam.pixel_count
     legacy = config.gather_mode == "throughput"
-    use_nee = bool(getattr(config, "nee", False))
+    env = scene.envmap
+    want_nee = bool(getattr(config, "nee", False))
+    use_area_nee = want_nee and light_sampler is not None
+    use_env_nee = want_nee and env is not None
+    use_nee = use_area_nee or use_env_nee
     if use_nee and legacy:
         raise ValueError("nee requires gather_mode='light_only'")
-    if use_nee and light_sampler is None:
+    if want_nee and not use_nee:
         raise ValueError(
             "config.nee=True needs a light_sampler "
-            "(ops.lights.make_light_sampler on the concrete scene)"
+            "(ops.lights.make_light_sampler on the concrete scene) or an "
+            "ENVIRONMENT map"
         )
 
     # sampler='sobol': first-vertex dimensions draw per-pixel shifted
@@ -371,19 +376,26 @@ def trace_sample_fast(
             key = rng_ops.bounce_key(base_key, iteration, depth)
             u = jax.random.uniform(key, (rng_ops.NUM_LANES, n), jnp.float32)
         best = intersect_unrolled(scene, ox, oy, oz, dx, dy, dz)
-        nee = None
-        if use_nee:
+        nee = env_nee = None
+        shadow_t = lambda sx, sy, sz, wx, wy, wz: intersect_unrolled(
+            scene, sx, sy, sz, wx, wy, wz
+        ).t
+        if use_area_nee:
             nee = (
                 light_sampler,
-                lambda sx, sy, sz, wx, wy, wz: intersect_unrolled(
-                    scene, sx, sy, sz, wx, wy, wz
-                ).t,
+                shadow_t,
                 nee_u
                 if nee_u is not None
                 else rng_ops.nee_uniforms(base_key, iteration, depth, n),
             )
+        if use_env_nee:
+            env_nee = (
+                shadow_t,
+                rng_ops.env_uniforms(base_key, iteration, depth, n),
+            )
         return shade_soa(
-            carry, best, u, scene.materials, depth, config, nee=nee
+            carry, best, u, scene.materials, depth, config, nee=nee,
+            env=env, env_nee=env_nee,
         ), None
 
     start = 0
@@ -411,30 +423,56 @@ def trace_sample_fast(
     return jnp.stack([rr_, rg_, rb_], axis=-1)
 
 
-def shade_soa(carry, best: _Best, u, materials, depth, config, nee=None):
+def shade_soa(carry, best: _Best, u, materials, depth, config, nee=None,
+              env=None, env_nee=None):
     """One masked shade/extend pass over SoA component state — the
     componentwise twin of ops.shade.shade_step (same reference semantics).
-    `carry` is the 13-tuple wavefront state (14 with `nee`: a trailing
-    prev_pdf register); `u` is [NUM_LANES, N]. `nee` is
+    `carry` is the 13-tuple wavefront state (14 with `nee`/`env_nee`: a
+    trailing prev_pdf register); `u` is [NUM_LANES, N]. `nee` is
     ``(light_sampler, shadow_t_fn, uniforms [N,3])`` — direct light
-    sampling + MIS, the SoA twin of shade_step's nee branch."""
+    sampling + MIS, the SoA twin of shade_step's nee branch. `env` (an
+    ops.envmap.EnvMap) swaps the gradient sky for the HDR lookup;
+    `env_nee` is ``(shadow_t_fn, uniforms [N,2])`` for environment
+    importance sampling + MIS (shade_step's env_nee twin)."""
     (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_) = carry[:13]
-    prev_pdf = carry[13] if nee is not None else None
+    carry_pdf = nee is not None or env_nee is not None
+    prev_pdf = carry[13] if carry_pdf else None
     legacy = config.gather_mode == "throughput"
     u_rr, u_branch, u_a, u_b, u_c = u[0], u[1], u[2], u[3], u[4]
 
     alive = bounces > 0
     missed = best.miss
 
-    # sky (`pathtrace.cu:358-362`)
-    t_sky = 0.5 * (dy + 1.0)
-    sky_r = ((1.0 - t_sky) + t_sky * 0.5) * 0.5
-    sky_g = ((1.0 - t_sky) + t_sky * 0.7) * 0.5
-    sky_b = ((1.0 - t_sky) + t_sky * 1.0) * 0.5
+    if env is not None:
+        from . import envmap as envmap_ops
+
+        dirs3 = jnp.stack([dx, dy, dz], axis=-1)
+        sky3 = envmap_ops.env_radiance(env, dirs3)
+        sky_r, sky_g, sky_b = sky3[:, 0], sky3[:, 1], sky3[:, 2]
+    else:
+        # sky (`pathtrace.cu:358-362`)
+        t_sky = 0.5 * (dy + 1.0)
+        sky_r = ((1.0 - t_sky) + t_sky * 0.5) * 0.5
+        sky_g = ((1.0 - t_sky) + t_sky * 0.7) * 0.5
+        sky_b = ((1.0 - t_sky) + t_sky * 1.0) * 0.5
     if legacy:
         cr = jnp.where(missed, cr * sky_r, cr)
         cg = jnp.where(missed, cg * sky_g, cg)
         cb = jnp.where(missed, cb * sky_b, cb)
+    elif env is not None:
+        esc = missed & alive
+        w_esc = 1.0
+        if env_nee is not None:
+            # MIS partner of env importance sampling (see shade_step)
+            p_env = envmap_ops.env_pdf(env, dirs3)
+            w_esc = jnp.where(
+                prev_pdf < 0.0,
+                1.0,
+                prev_pdf / jnp.maximum(prev_pdf + p_env, 1e-20),
+            )
+        rr_ = jnp.where(esc, rr_ + cr * sky_r * w_esc, rr_)
+        rg_ = jnp.where(esc, rg_ + cg * sky_g * w_esc, rg_)
+        rb_ = jnp.where(esc, rb_ + cb * sky_b * w_esc, rb_)
     elif config.sky_strength:
         esc = missed & alive
         ss = jnp.float32(config.sky_strength)
@@ -623,8 +661,41 @@ def shade_soa(carry, best: _Best, u, materials, depth, config, nee=None):
         rg_ = jnp.where(add, rg_ + cg * mat["cg"] * k_d * le[:, 1], rg_)
         rb_ = jnp.where(add, rb_ + cb * mat["cb"] * k_d * le[:, 2], rb_)
 
-        # density of THIS vertex's lobe choice (next emissive hit's MIS):
-        # diffuse lanes carry (1−P)·cosθ/π, delta lobes −1
+    if env_nee is not None:
+        # ── direct environment light (shade_step's env_nee block in SoA
+        # form): solid-angle-measure light pdf, visibility = the shadow
+        # ray escapes the scene entirely, own MIS pair vs BRDF sampling
+        from . import envmap as envmap_ops
+
+        shadow_t, env_u = env_nee
+        inv_pi = jnp.float32(0.3183098861837907)
+        glass = glass_mask if push_through is not None else None
+        base = act if glass is None else act & ~glass
+        wi, _len, pdf_e = envmap_ops.sample_env(env, env_u[:, 0], env_u[:, 1])
+        # both techniques integrate the SAME bilinear L (see shade_step)
+        le3 = envmap_ops.env_radiance(env, wi)
+        wx, wy, wz = wi[:, 0], wi[:, 1], wi[:, 2]
+        cos_s = nx * wx + ny * wy + nz * wz
+        sh_t = shadow_t(hx, hy, hz, wx, wy, wz)
+        visible = sh_t >= _MISS  # _MISS sentinel: escaped
+        diffuse_prob = 1.0 - refl
+        p_brdf = diffuse_prob * jnp.maximum(cos_s, 0.0) * inv_pi
+        w_mis = pdf_e / jnp.maximum(pdf_e + p_brdf, 1e-20)
+        k_e = (
+            diffuse_prob * inv_pi
+            * jnp.maximum(cos_s, 0.0) / jnp.maximum(pdf_e, 1e-20) * w_mis
+        )
+        add = base & (cos_s > 0.0) & visible
+        rr_ = jnp.where(add, rr_ + cr * mat["cr"] * k_e * le3[:, 0], rr_)
+        rg_ = jnp.where(add, rg_ + cg * mat["cg"] * k_e * le3[:, 1], rg_)
+        rb_ = jnp.where(add, rb_ + cb * mat["cb"] * k_e * le3[:, 2], rb_)
+
+    if carry_pdf:
+        # density of THIS vertex's lobe choice (next emissive hit's / env
+        # escape's MIS): diffuse lanes carry (1−P)·cosθ/π, delta lobes −1
+        inv_pi = jnp.float32(0.3183098861837907)
+        diffuse_prob = 1.0 - refl
+        glass = glass_mask if push_through is not None else None
         cos_new = jnp.maximum(new_dx * nx + new_dy * ny + new_dz * nz, 0.0)
         diffuse_ext = act & ~spec
         if glass is not None:
@@ -645,7 +716,7 @@ def shade_soa(carry, best: _Best, u, materials, depth, config, nee=None):
     bounces = jnp.where(act, bounces - 1, jnp.zeros_like(bounces))
 
     out = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces, rr_, rg_, rb_)
-    return out if nee is None else out + (prev_pdf,)
+    return out + (prev_pdf,) if carry_pdf else out
 
 def supports_mesh(scene: Scene) -> bool:
     """Mesh SoA pipeline: triangles via the cluster kernel + unrolled

@@ -1464,7 +1464,9 @@ def _make_kernel(
 def supports(scene: Scene) -> bool:
     from .. import fast
 
-    return fast.supports(scene)
+    # envmap scenes run the XLA fast pipeline (the HDR gathers + alias
+    # draws have no in-kernel Mosaic counterpart yet)
+    return fast.supports(scene) and scene.envmap is None
 
 
 def render_samples(

@@ -392,10 +392,10 @@ def make_sharded_step(
         from ..ops.lights import make_light_sampler
 
         light_sampler = make_light_sampler(scene)
-        if light_sampler is None:
+        if light_sampler is None and scene.envmap is None:
             raise ValueError(
                 "config.nee=True but the scene has no emissive analytic "
-                "(cube/sphere) lights to sample"
+                "(cube/sphere) lights and no ENVIRONMENT map to sample"
             )
     fn = partial(
         render_chunk_sharded,

@@ -135,6 +135,10 @@ class RenderConfig:
         except Exception:
             on_tpu = False
 
+        # envmap scenes: the megakernel has no in-kernel HDR lookup, so
+        # TPU routes them to the XLA fast pipeline instead of pallas
+        env_free = scene.envmap is None
+
         if self.nee:
             # direct light sampling: in-kernel on the TPU megakernel
             # (static light tables + shadow-ray pass), the SoA fast path
@@ -142,7 +146,7 @@ class RenderConfig:
             # kernel shadow rays), the readable wavefront as fallback; all
             # need light_only gathering (legacy mode raises downstream)
             if self.gather_mode == "light_only" and fast_mod.supports(scene):
-                return "pallas" if on_tpu else "fast"
+                return "pallas" if (on_tpu and env_free) else "fast"
             if (
                 self.gather_mode == "light_only"
                 and on_tpu
@@ -152,7 +156,7 @@ class RenderConfig:
             return "reference"
 
         if self.intersector in ("auto", "bruteforce") and fast_mod.supports(scene):
-            return "pallas" if on_tpu else "fast"
+            return "pallas" if (on_tpu and env_free) else "fast"
         if on_tpu and fast_mod.supports_mesh(scene):
             return "fast_mesh"
         return "reference"
@@ -389,6 +393,11 @@ def make_pallas_step(interpret: bool = False, scene: Scene = None,
 
     geom_kinds = scene_static = nee_static = None
     if scene is not None:
+        if scene.envmap is not None:
+            raise ValueError(
+                "pipeline='pallas' does not support ENVIRONMENT-map scenes "
+                "(no in-kernel HDR lookup); use pipeline='fast' or 'auto'"
+            )
         geom_kinds = megakernel._static_geom_kinds(scene)
         scene_static = megakernel._static_scene_tables(scene)
         if config is not None and config.nee:
