@@ -60,6 +60,12 @@ def _recip(x):
     (~23-bit accurate, several cycles cheaper than exact f32 divide).
     Preserves IEEE edge cases we rely on: 1/0 → ±inf (approx returns ±inf),
     and the Newton step keeps inf·finite → inf, nan → nan."""
+    if getattr(x, "ndim", 1) == 0 or isinstance(x, (int, float)):
+        # Mosaic's reciprocal lowering is vector-only (scalar operands hit
+        # an F32Type.element_type crash); scalars — e.g. the constant-
+        # direction sun shadow rays' per-geom transforms — take the exact
+        # divide, which on the scalar unit is off the vector critical path
+        return 1.0 / x
     r0 = pl.reciprocal(x, approx=True)
     r1 = r0 * (2.0 - x * r0)
     # inf/nan lanes: Newton gives inf*0 → nan; restore the raw approximation
@@ -347,6 +353,29 @@ def _static_scene_tables(scene: Scene):
         return ((), (), ())
 
 
+def _static_env_split(scene: Scene, config) -> tuple:
+    """Sun/sky split tables for env_mode='split' (ops.envmap.split_envmap),
+    as pure-float static tuples: ``(suns, sh, bg_external)``. suns =
+    ((dx,dy,dz, Er,Eg,Eb), …) delta directional lights sampled
+    deterministically per bounce; sh = per-channel SH-9 coefficients of
+    the residual sky for in-kernel misses; bg_external = primary rays are
+    iteration-invariant (no AA/DOF), so the impl composites the exact
+    bilinear background outside the kernel and depth-0 misses contribute
+    nothing in-kernel."""
+    from .. import envmap as envmap_ops
+
+    env = scene.envmap
+    img = np.asarray(jax.device_get(env.img), np.float64) * float(
+        jax.device_get(env.strength)
+    )
+    suns, sh = envmap_ops.split_envmap(img)
+    bg_external = not (
+        bool(getattr(config, "antialias", False))
+        or bool(getattr(config, "dof", False))
+    )
+    return (suns, sh, bg_external)
+
+
 def _make_kernel(
     *,
     num_cubes: int,
@@ -374,12 +403,15 @@ def _make_kernel(
     dof: bool = False,
     ld: int = 0,  # number of leading LD bounce depths (0 = sampler off)
     adaptive_grid: int = 0,  # K>0: per-grid-step tile ids/iter bases in scal
+    env_split: tuple = None,  # (suns, sh, bg_external) — _static_env_split
 ):
     # legacy mode's sky multiply keeps updating terminated lanes (quirk
     # parity), so an all-dead bounce is NOT a no-op there — never skip
     early_exit = early_exit and not legacy
     if nee is not None and legacy:
         raise ValueError("nee requires gather_mode='light_only'")
+    if env_split is not None and legacy:
+        raise ValueError("env_mode='split' requires gather_mode='light_only'")
     k_total = num_cubes + num_spheres
     if not geom_kinds:
         geom_kinds = tuple(
@@ -1030,21 +1062,42 @@ def _make_kernel(
                 missed = best_t >= _MISS
                 alive = bounces > 0
 
-                # ── sky (`pathtrace.cu:358-362`) ──
-                t_sky = 0.5 * (dy + 1.0)
-                sky_r = ((1.0 - t_sky) + t_sky * 0.5) * 0.5
-                sky_g = ((1.0 - t_sky) + t_sky * 0.7) * 0.5
-                sky_b = ((1.0 - t_sky) + t_sky * 1.0) * 0.5
-                if legacy:
-                    cr = jnp.where(missed, cr * sky_r, cr)
-                    cg = jnp.where(missed, cg * sky_g, cg)
-                    cb = jnp.where(missed, cb * sky_b, cb)
-                elif sky_strength:
-                    esc = missed & alive
-                    ss = jnp.float32(sky_strength)
-                    rad_r = jnp.where(esc, rad_r + cr * sky_r * ss, rad_r)
-                    rad_g = jnp.where(esc, rad_g + cg * sky_g * ss, rad_g)
-                    rad_b = jnp.where(esc, rad_b + cb * sky_b * ss, rad_b)
+                if env_split is not None:
+                    # ── SH-9 residual sky (env_mode='split'; the suns are
+                    # handled by the deterministic table below and the
+                    # depth-0 background outside the kernel when
+                    # bg_external) — pure VPU math, clamped at 0 against
+                    # SH ringing ──
+                    if not (env_split[2] and depth == 0):
+                        from ...ops.envmap import sh9_eval
+
+                        s3 = sh9_eval(env_split[1], dx, dy, dz)
+                        esc = missed & alive
+                        rad_r = jnp.where(
+                            esc, rad_r + cr * jnp.maximum(s3[0], 0.0), rad_r
+                        )
+                        rad_g = jnp.where(
+                            esc, rad_g + cg * jnp.maximum(s3[1], 0.0), rad_g
+                        )
+                        rad_b = jnp.where(
+                            esc, rad_b + cb * jnp.maximum(s3[2], 0.0), rad_b
+                        )
+                else:
+                    # ── sky (`pathtrace.cu:358-362`) ──
+                    t_sky = 0.5 * (dy + 1.0)
+                    sky_r = ((1.0 - t_sky) + t_sky * 0.5) * 0.5
+                    sky_g = ((1.0 - t_sky) + t_sky * 0.7) * 0.5
+                    sky_b = ((1.0 - t_sky) + t_sky * 1.0) * 0.5
+                    if legacy:
+                        cr = jnp.where(missed, cr * sky_r, cr)
+                        cg = jnp.where(missed, cg * sky_g, cg)
+                        cb = jnp.where(missed, cb * sky_b, cb)
+                    elif sky_strength:
+                        esc = missed & alive
+                        ss = jnp.float32(sky_strength)
+                        rad_r = jnp.where(esc, rad_r + cr * sky_r * ss, rad_r)
+                        rad_g = jnp.where(esc, rad_g + cg * sky_g * ss, rad_g)
+                        rad_b = jnp.where(esc, rad_b + cb * sky_b * ss, rad_b)
 
                 act = ~missed & alive
 
@@ -1380,6 +1433,37 @@ def _make_kernel(
                         jnp.float32(-1.0),
                     )
 
+                if env_split is not None and env_split[0]:
+                    # ── delta sun lights (env_mode='split') at diffuse-
+                    # capable vertices: deterministic — no RNG draw, no
+                    # MIS (a delta light has no BRDF competitor of
+                    # nonzero measure); one any-hit shadow ray per sun
+                    # whose DIRECTION is a compile-time constant, so the
+                    # per-geom direction transforms in occluded_any
+                    # constant-fold to immediates ──
+                    sun_base = act & ~glass if enable_refraction else act
+                    diffuse_p = 1.0 - m_refl
+                    for (sd0, sd1, sd2, ser, seg, seb) in env_split[0]:
+                        cos_sun = (best_nx * sd0 + best_ny * sd1
+                                   + best_nz * sd2)
+                        sun_vis = ~occluded_any(
+                            hx, hy, hz,
+                            jnp.float32(sd0), jnp.float32(sd1),
+                            jnp.float32(sd2), jnp.float32(1e7),
+                        )
+                        sun_add = sun_base & (cos_sun > 0.0) & sun_vis
+                        k_sun = (diffuse_p * jnp.float32(_INV_PI)
+                                 * jnp.maximum(cos_sun, 0.0))
+                        rad_r = jnp.where(
+                            sun_add, rad_r + cr * m_cr * k_sun * ser, rad_r
+                        )
+                        rad_g = jnp.where(
+                            sun_add, rad_g + cg * m_cg * k_sun * seg, rad_g
+                        )
+                        rad_b = jnp.where(
+                            sun_add, rad_b + cb * m_cb * k_sun * seb, rad_b
+                        )
+
                 cr = jnp.where(act, cr * t_r, cr)
                 cg = jnp.where(act, cg * t_g, cg)
                 cb = jnp.where(act, cb * t_b, cb)
@@ -1482,6 +1566,7 @@ def render_samples(
     scene_static=None,
     tile_base=None,
     nee_static=None,
+    env_split=None,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch (public wrapper;
     forwards the module-level ABLATION/INTERLEAVE knobs as jit-static args so
@@ -1505,11 +1590,19 @@ def render_samples(
         geom_kinds = _static_geom_kinds(scene)
     if scene_static is None:
         scene_static = _static_scene_tables(scene)
+    if env_split is None and scene.envmap is not None:
+        if getattr(config, "env_mode", "exact") != "split":
+            raise ValueError(
+                "the megakernel carries ENVIRONMENT scenes only through "
+                "env_mode='split' (sun/sky decomposition); exact env "
+                "lighting runs on the XLA fast pipeline"
+            )
+        env_split = _static_env_split(scene, config)
     if nee_static is None and getattr(config, "nee", False):
         if config.gather_mode != "light_only":
             raise ValueError("nee requires gather_mode='light_only'")
         nee_static = _static_light_table(scene)
-        if nee_static is None:
+        if nee_static is None and scene.envmap is None:
             raise ValueError(
                 "nee: scene has no analytic (cube/sphere) emissive lights"
             )
@@ -1530,7 +1623,7 @@ def render_samples(
         pixel_offset, num_pixels, ABLATION, interleave, geom_kinds,
         scene_static, tile_base,
         EARLY_EXIT or getattr(config, "early_exit", False),
-        HOIST_PRIMARY, nee_static,
+        HOIST_PRIMARY, nee_static, env_split,
     )
 
 
@@ -1559,6 +1652,12 @@ def render_tiles(
     the result back). Returns the [K·TILE, 3] radiance sum over the batch.
     K is static (from the shapes); tile selection is data, so refining a
     different tile set never recompiles."""
+    if scene.envmap is not None:
+        raise ValueError(
+            "render_tiles (adaptive sampling) does not carry ENVIRONMENT "
+            "scenes yet — the exact-background composite needs the full "
+            "frame; render dense via env_mode='split' or the fast pipeline"
+        )
     if geom_kinds is None:
         geom_kinds = _static_geom_kinds(scene)
     if scene_static is None:
@@ -1710,7 +1809,7 @@ def _render_tiles_impl(
     static_argnames=(
         "config", "num_samples", "interpret", "num_pixels",
         "ablation", "interleave", "geom_kinds", "scene_static",
-        "early_exit", "hoist_primary", "nee_static",
+        "early_exit", "hoist_primary", "nee_static", "env_split",
     ),
 )
 def _render_samples_impl(
@@ -1730,6 +1829,7 @@ def _render_samples_impl(
     early_exit: bool = False,
     hoist_primary: bool = False,
     nee_static=None,
+    env_split=None,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch.
 
@@ -1823,6 +1923,7 @@ def _render_samples_impl(
             if getattr(config, "sampler", "independent") == "sobol"
             else 0
         ),
+        env_split=env_split,
     )
 
     grid = n_pad // TILE
@@ -1854,4 +1955,22 @@ def _render_samples_impl(
         [out_r.reshape(-1)[:n], out_g.reshape(-1)[:n], out_b.reshape(-1)[:n]],
         axis=-1,
     )
+    if env_split is not None and env_split[2]:
+        # exact-background composite (env_mode='split'): primary rays are
+        # iteration-invariant here (no AA/DOF — bg_external gate), so the
+        # camera-visible environment is one bilinear lookup per pixel per
+        # DISPATCH, added in XLA at full fidelity. In-kernel depth-0
+        # misses contributed nothing (see the SH sky block).
+        from .. import camera as camera_ops
+        from .. import envmap as envmap_ops
+        from ..intersect import intersect_scene
+
+        o3, d3 = camera_ops.generate_rays(
+            cam, None,
+            pixel_offset=pixel_offset if num_pixels is not None else 0,
+            num_pixels=n,
+        )
+        miss0 = intersect_scene(scene, o3, d3).miss
+        bg = envmap_ops.env_radiance(scene.envmap, d3)
+        rad = rad + jnp.float32(num_samples) * bg * miss0[:, None]
     return rad

@@ -207,6 +207,12 @@ def make_sharded_pallas_step(
     config = _resolve_dof(scene, config)
     from ..ops.pallas import megakernel
 
+    if scene.envmap is not None:
+        raise ValueError(
+            "the sharded megakernel does not carry ENVIRONMENT scenes yet "
+            "(env_mode='split' composites the exact background against the "
+            "full frame); shard via make_sharded_step (fast/XLA pipeline)"
+        )
     fn = partial(
         render_chunk_sharded_pallas,
         config=config,

@@ -117,6 +117,16 @@ class RenderConfig:
     # focal themselves live on the Camera pytree (dynamic — refocusing
     # never recompiles; FOCAL ≤ 0 auto-focuses on LOOKAT).
     dof: Optional[bool] = None
+    # Environment-map evaluation mode (scenes with an ENVIRONMENT block):
+    # 'exact' = bilinear HDR lookups + alias-table importance sampling on
+    # the XLA pipelines (unbiased; TPU auto-routes to 'fast'); 'split' =
+    # the megakernel's sun/sky decomposition (ops/envmap.py split_envmap):
+    # top-K bright texels become delta directional lights (deterministic
+    # shadow rays), the residual sky an SH-9 fit for indirect bounces, and
+    # the camera-visible background composites from the exact map outside
+    # the kernel. 'split' is an approximation (delta suns = hard shadows,
+    # SH sky in secondary reflections) that runs at megakernel speed.
+    env_mode: str = "exact"
     # Pipeline: 'pallas' = single-dispatch TPU megakernel (ops.pallas),
     # 'fast' = SoA unrolled XLA hot path (ops.fast), 'reference' = readable
     # [N,3] path (ops.intersect/shade). 'auto' picks the fastest the scene
@@ -126,6 +136,8 @@ class RenderConfig:
     def resolve_pipeline(self, scene: Scene) -> str:
         if self.sampler not in ("independent", "sobol"):
             raise ValueError(f"unknown sampler {self.sampler!r}")
+        if self.env_mode not in ("exact", "split"):
+            raise ValueError(f"unknown env_mode {self.env_mode!r}")
         if self.pipeline != "auto":
             return self.pipeline
         from ..ops import fast as fast_mod
@@ -135,9 +147,10 @@ class RenderConfig:
         except Exception:
             on_tpu = False
 
-        # envmap scenes: the megakernel has no in-kernel HDR lookup, so
-        # TPU routes them to the XLA fast pipeline instead of pallas
-        env_free = scene.envmap is None
+        # envmap scenes: the megakernel carries them only through the
+        # sun/sky split approximation (env_mode='split'); exact mode
+        # routes TPU to the XLA fast pipeline instead of pallas
+        env_free = scene.envmap is None or self.env_mode == "split"
 
         if self.nee:
             # direct light sampling: in-kernel on the TPU megakernel
@@ -391,18 +404,23 @@ def make_pallas_step(interpret: bool = False, scene: Scene = None,
     `config` (optional) lets the nee light table be derived once too."""
     from ..ops.pallas import megakernel
 
-    geom_kinds = scene_static = nee_static = None
+    geom_kinds = scene_static = nee_static = env_split = None
     if scene is not None:
-        if scene.envmap is not None:
+        if scene.envmap is not None and (
+            config is None or config.env_mode != "split"
+        ):
             raise ValueError(
-                "pipeline='pallas' does not support ENVIRONMENT-map scenes "
-                "(no in-kernel HDR lookup); use pipeline='fast' or 'auto'"
+                "pipeline='pallas' carries ENVIRONMENT-map scenes only via "
+                "env_mode='split' (sun/sky decomposition); exact env "
+                "lighting runs on pipeline='fast' or 'auto'"
             )
         geom_kinds = megakernel._static_geom_kinds(scene)
         scene_static = megakernel._static_scene_tables(scene)
+        if scene.envmap is not None and config is not None:
+            env_split = megakernel._static_env_split(scene, config)
         if config is not None and config.nee:
             nee_static = megakernel._static_light_table(scene)
-            if nee_static is None:
+            if nee_static is None and scene.envmap is None:
                 raise ValueError(
                     "nee: scene has no analytic (cube/sphere) emissive "
                     "lights"
@@ -425,6 +443,7 @@ def make_pallas_step(interpret: bool = False, scene: Scene = None,
                 geom_kinds=geom_kinds,
                 scene_static=scene_static,
                 nee_static=nee_static,
+                env_split=env_split,
             )
             done += k
         return state.replace(

@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--env-strength", type=float, default=None,
                    help="environment radiance multiplier (default 1, or the "
                         "scene's STRENGTH line)")
+    p.add_argument("--env-mode", default="exact",
+                   choices=["exact", "split"],
+                   help="environment evaluation: exact = unbiased HDR "
+                        "lookups + importance sampling (XLA fast pipeline); "
+                        "split = megakernel sun/sky decomposition (delta "
+                        "suns + SH-9 residual + exact composited "
+                        "background) — approximate but megakernel-fast")
     p.add_argument("--sampler", default="independent",
                    choices=["independent", "sobol"],
                    help="sample generator (extension; the reference only "
@@ -161,6 +168,7 @@ def main(argv=None) -> int:
         early_exit=args.early_exit,
         sampler=args.sampler,
         ld_depths=max(1, args.ld_depths),
+        env_mode=args.env_mode,
     )
     if args.nee and args.estimator == "throughput":
         print("error: --nee needs the light_only estimator", file=sys.stderr)
