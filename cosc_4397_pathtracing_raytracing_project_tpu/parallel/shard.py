@@ -131,12 +131,16 @@ def render_chunk_sharded_pallas(
     geom_kinds=None,
     scene_static=None,
     nee_static=None,
+    env_split=None,
 ) -> RenderState:
     """Multi-chip megakernel step: each dp rank runs the single-dispatch
     Pallas megakernel (ops.pallas.megakernel) on its contiguous pixel slice;
     sp ranks split the sample batch and combine with one psum. When the
     per-rank pixel count is TILE-aligned, the result is bit-identical to the
-    single-device megakernel (tile-base RNG alignment, see render_samples)."""
+    single-device megakernel (tile-base RNG alignment, see render_samples).
+    ENVIRONMENT scenes ride through env_mode='split' — the static sun/SH
+    tables come from the closure (make_sharded_pallas_step) and the exact
+    background composites per pixel slice (pixel_offset-aware)."""
     from ..ops.pallas import megakernel
 
     local_pixels, local_samples = _shard_extents(scene, num_samples, mesh)
@@ -157,6 +161,14 @@ def render_chunk_sharded_pallas(
                 "sharded nee needs the concrete light table — call via "
                 "make_sharded_pallas_step (which derives it while the "
                 "scene is concrete)"
+            ) from e
+    if env_split is None and scene.envmap is not None:
+        try:
+            env_split = megakernel._static_env_split(scene, config)
+        except Exception as e:  # tracer scene: tables must come from outside
+            raise ValueError(
+                "sharded env_mode='split' needs the concrete sun/SH tables "
+                "— call via make_sharded_pallas_step"
             ) from e
 
     # Each shard's kernel tiles seed RNG as (global tile_base + local tile).
@@ -188,6 +200,7 @@ def render_chunk_sharded_pallas(
             geom_kinds=geom_kinds,
             scene_static=scene_static,
             nee_static=nee_static,
+            env_split=env_split,
             tile_base=dp * jnp.int32(tiles_per_shard),
         )
         rad = jax.lax.psum(rad, SAMPLE_AXIS)
@@ -207,11 +220,11 @@ def make_sharded_pallas_step(
     config = _resolve_dof(scene, config)
     from ..ops.pallas import megakernel
 
-    if scene.envmap is not None:
+    if scene.envmap is not None and config.env_mode != "split":
         raise ValueError(
-            "the sharded megakernel does not carry ENVIRONMENT scenes yet "
-            "(env_mode='split' composites the exact background against the "
-            "full frame); shard via make_sharded_step (fast/XLA pipeline)"
+            "the sharded megakernel carries ENVIRONMENT scenes only via "
+            "env_mode='split'; exact env lighting shards through "
+            "make_sharded_step (fast/XLA pipeline)"
         )
     fn = partial(
         render_chunk_sharded_pallas,
@@ -226,6 +239,11 @@ def make_sharded_pallas_step(
         nee_static=(
             megakernel._static_light_table(scene)
             if getattr(config, "nee", False)
+            else None
+        ),
+        env_split=(
+            megakernel._static_env_split(scene, config)
+            if scene.envmap is not None
             else None
         ),
     )
