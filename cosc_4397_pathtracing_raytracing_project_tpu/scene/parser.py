@@ -231,9 +231,23 @@ def parse_scene(text: str, base_dir: str = ".") -> SceneDesc:
                     break
                 ptoks = pline.split()
                 if ptoks[0] == "FILE":
+                    if len(ptoks) < 2:
+                        raise SceneParseError(
+                            f"ENVIRONMENT FILE line needs a path: {pline!r}"
+                        )
                     env_file = ptoks[1]
                 elif ptoks[0] == "STRENGTH":
-                    env_strength = float(ptoks[1])
+                    if len(ptoks) < 2:
+                        raise SceneParseError(
+                            f"ENVIRONMENT STRENGTH line needs a value: "
+                            f"{pline!r}"
+                        )
+                    try:
+                        env_strength = float(ptoks[1])
+                    except ValueError as e:
+                        raise SceneParseError(
+                            f"bad ENVIRONMENT STRENGTH value: {pline!r}"
+                        ) from e
             if env_file is None:
                 raise SceneParseError("ENVIRONMENT block requires a FILE line")
             from ..io.png import read_hdr
