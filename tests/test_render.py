@@ -19,23 +19,6 @@ from cosc_4397_pathtracing_raytracing_project_tpu.render.engine import (
 from cosc_4397_pathtracing_raytracing_project_tpu.render.state import RenderState
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _no_persistent_cache():
-    """Bypass the persistent compile cache for this module.
-
-    Deep into a full-suite run (~165 executables already loaded in-process)
-    jax's compilation-cache serialize/deserialize of this module's step
-    executable ABORTS inside get/put_executable_and_time (rc 134/139) on
-    this single-core host — deterministically at the same computation, while
-    the same entry reads fine in a fresh process. The tests themselves are
-    unaffected; compiling this module's small CPU pipelines fresh costs a
-    couple of minutes and sidesteps the fragile cache path entirely."""
-    old = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    yield
-    jax.config.update("jax_compilation_cache_dir", old)
-
-
 CORNELL_SMALL = """
 MATERIAL 0
 RGB 1 1 1
