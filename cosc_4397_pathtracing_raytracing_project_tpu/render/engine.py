@@ -567,6 +567,10 @@ class Renderer:
         self.state = RenderState.create(self.scene.camera.pixel_count, seed)
         self.metrics = MetricsTracker(self.scene.camera.pixel_count)
         self._host_iteration = 0  # mirrors state.iteration without a D2H fetch
+        # opt-in reference-parity PSNR snapshot (see step()): split the chunk
+        # crossing iteration 10 so the self-PSNR baseline is a true 10-spp
+        # frame regardless of samples_per_launch
+        self.psnr_snapshot = False
         pipeline = config.resolve_pipeline(self.scene)
         # the fast/pallas pipelines carry their own fused intersector
         if pipeline in ("fast", "pallas", "fast_mesh"):
@@ -641,11 +645,36 @@ class Renderer:
         if num_samples is None:
             num_samples = self.config.samples_per_launch
         t0 = time.perf_counter()
-        self.state = self._step(self.scene, self.state, self.config, num_samples)
-        self._host_iteration += num_samples
+        total = num_samples
+        # psnr_snapshot: materialize a true iteration-10 frame for the
+        # reference-parity PSNR harness by splitting the chunk that crosses
+        # SNAPSHOT_ITER (`pathtrace.cu:184-191` snapshots at exactly 10).
+        # Opt-in: the split changes float accumulation order (no longer
+        # bit-identical to the unsplit chunk) and compiles one extra chunk
+        # shape, so it stays off for benchmarks.
+        from .metrics import SNAPSHOT_ITER
+
+        if (
+            self.psnr_snapshot
+            and self.metrics.snapshot is None
+            and self._host_iteration < SNAPSHOT_ITER
+            and self._host_iteration + num_samples >= SNAPSHOT_ITER
+        ):
+            head = SNAPSHOT_ITER - self._host_iteration
+            self.state = self._step(self.scene, self.state, self.config, head)
+            self._host_iteration += head
+            num_samples -= head
+            self.metrics.capture_snapshot(
+                self.state.accum, self._host_iteration
+            )
+        if num_samples:
+            self.state = self._step(
+                self.scene, self.state, self.config, num_samples
+            )
+            self._host_iteration += num_samples
         if sync:
             self.sync()
-        self.metrics.record(num_samples, time.perf_counter() - t0)
+        self.metrics.record(total, time.perf_counter() - t0)
         return self.iteration
 
     def sync(self) -> None:

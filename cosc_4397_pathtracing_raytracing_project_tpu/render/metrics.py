@@ -55,6 +55,7 @@ class MetricsTracker:
     last_psnr_db: float = float("inf")
     iterations_to_clean: int = -1
     snapshot: Optional[jnp.ndarray] = None  # iteration-10 mean frame (device)
+    snapshot_iteration: int = -1  # iteration the snapshot was actually taken at
     external_reference: Optional[jnp.ndarray] = None  # ground-truth mean frame
 
     def record(self, num_samples: int, elapsed_s: float) -> None:
@@ -83,14 +84,28 @@ class MetricsTracker:
             np.asarray(linear_image, np.float32).reshape(-1, 3)
         )
 
+    def capture_snapshot(self, accum: jnp.ndarray, iteration: int) -> None:
+        """Record the self-reference frame explicitly (the engine calls this
+        at a true iteration-10 boundary when PSNR parity is enabled — see
+        Renderer.psnr_snapshot — so chunked renders match the reference's
+        per-iteration console semantics, `pathtrace.cu:184-191`)."""
+        self.snapshot = accum.reshape(-1, 3) / jnp.float32(max(iteration, 1))
+        self.snapshot_iteration = iteration
+
     def update_psnr(self, accum: jnp.ndarray, iteration: int) -> float:
         """Reference-parity PSNR update: snapshot the frame at iteration 10,
         then compare subsequent frames to it. Returns the current PSNR
-        (inf before the snapshot exists, as the reference returns FLT_MAX)."""
+        (inf before the snapshot exists, as the reference returns FLT_MAX).
+
+        Chunked renders that never materialize an exact 10-spp frame fall
+        back to snapshotting the first ≥10 frame seen; `snapshot_iteration`
+        records which (so `iterations_to_clean` is only reference-comparable
+        when it is 10 — enable Renderer.psnr_snapshot for that)."""
         mean = accum.reshape(-1, 3) / jnp.float32(max(iteration, 1))
         if self.snapshot is None:
             if iteration >= SNAPSHOT_ITER:
                 self.snapshot = mean
+                self.snapshot_iteration = iteration
             self.last_psnr_db = float("inf")
             return self.last_psnr_db
         mse = float(mse_between(mean, self.snapshot))
@@ -127,6 +142,11 @@ class MetricsTracker:
                 "PSNR: Inf dB"
                 if self.last_psnr_db == float("inf")
                 else f"PSNR: {self.last_psnr_db:.2f} dB"
+                + (
+                    f" (vs iter-{self.snapshot_iteration} snapshot)"
+                    if self.snapshot_iteration != SNAPSHOT_ITER
+                    else ""
+                )
             ),
         ]
         if self.iterations_to_clean > 0:

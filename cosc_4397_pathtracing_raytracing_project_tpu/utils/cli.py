@@ -238,6 +238,9 @@ def main(argv=None) -> int:
 
     target = args.iterations if args.iterations is not None else desc.iterations
     every = args.metrics_every
+    # metrics on → reference-parity PSNR: baseline = a true iteration-10
+    # frame even when --chunk crosses it (pathtrace.cu:184-191)
+    renderer.psnr_snapshot = bool(every)
     while renderer.iteration < target:
         n = min(args.chunk, target - renderer.iteration)
         renderer.step(n, sync=bool(every))
