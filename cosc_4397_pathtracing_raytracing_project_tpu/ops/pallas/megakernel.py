@@ -72,6 +72,42 @@ def _recip(x):
     return jnp.where(jnp.isfinite(r1), r1, r0)
 
 
+# Mosaic has no atan2/arccos lowering; the exact-envmap direction→(u,v)
+# mapping uses a degree-9 Chebyshev-fit polynomial for atan(t)/t in t² on
+# [0,1] (max |err| 8.2e-8 rad in f32 — sub-milli-texel even on a 4096-wide
+# map), with the classic octant reduction for the full atan2 range.
+_ATAN_C = (
+    0.9999999930825906, -0.33333254080432473, 0.199977505037471,
+    -0.14257992653960597, 0.1092607635073435, -0.08340029963538047,
+    0.05703403618375145, -0.030384225558022983, 0.010544175519843985,
+    -0.0017213223616973183,
+)
+
+
+def _patan2(y, x):
+    """Polynomial atan2(y, x) (vector-safe in Mosaic; matches jnp.arctan2
+    to ~1e-7 rad). Convention: (0, 0) → 0."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.maximum(jnp.where(swap, ay, ax), 1e-30)
+    t = num / den
+    s = t * t
+    p = jnp.float32(_ATAN_C[-1])
+    for c in _ATAN_C[-2::-1]:
+        p = p * s + jnp.float32(c)
+    r = p * t
+    r = jnp.where(swap, jnp.float32(_PI * 0.5) - r, r)
+    r = jnp.where(x < 0, jnp.float32(_PI) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _pacos(x):
+    """acos via _patan2 (exact identity, so accuracy follows the poly)."""
+    return _patan2(jnp.sqrt(jnp.maximum((1.0 - x) * (1.0 + x), 0.0)), x)
+
+
 def _u01(shape):
     # prng_random_bits yields signed int32 — bitcast before shifting, or the
     # arithmetic shift produces "uniforms" in [-0.5, 0.5).
@@ -380,6 +416,23 @@ def _static_env_split(scene: Scene, config) -> tuple:
     return (suns, sh, bg_external)
 
 
+# In-kernel exact env cap: the gather's MXU cost per sample scales with
+# Hp·Wp (16 row-matmuls of [Wp, Hp]·[Hp, 128] per channel per tile), and
+# the three planes live whole in VMEM. 256×512 ≈ 131k texels keeps both
+# comfortable; larger maps route to env_mode='split' or the fast pipeline.
+MAX_ENV_EXACT_TEXELS = 256 * 512
+
+
+def _static_env_exact(scene: Scene) -> tuple:
+    """(H, W, Hp, Wp) static dims for the in-kernel exact env gather.
+    Shape-only — safe to derive inside a trace (shard_map), unlike
+    _static_env_split which reads concrete texel values."""
+    h, w = scene.envmap.shape
+    hp = ((h + 127) // 128) * 128  # minor dim of the [Wp, Hp] planes
+    wp = ((w + 7) // 8) * 8
+    return (h, w, hp, wp)
+
+
 def _make_kernel(
     *,
     num_cubes: int,
@@ -408,6 +461,7 @@ def _make_kernel(
     ld: int = 0,  # number of leading LD bounce depths (0 = sampler off)
     adaptive_grid: int = 0,  # K>0: per-grid-step tile ids/iter bases in scal
     env_split: tuple = None,  # (suns, sh, bg_external) — _static_env_split
+    env_exact: tuple = None,  # (H, W, Hp, Wp) — in-kernel bilinear HDR env
 ):
     # legacy mode's sky multiply keeps updating terminated lanes (quirk
     # parity), so an all-dead bounce is NOT a no-op there — never skip
@@ -416,14 +470,28 @@ def _make_kernel(
         raise ValueError("nee requires gather_mode='light_only'")
     if env_split is not None and legacy:
         raise ValueError("env_mode='split' requires gather_mode='light_only'")
+    if env_exact is not None and (legacy or env_split is not None):
+        raise ValueError(
+            "env_mode='exact' (in-kernel) requires gather_mode='light_only' "
+            "and excludes env_mode='split'"
+        )
     k_total = num_cubes + num_spheres
     if not geom_kinds:
         geom_kinds = tuple(
             [("cube", None)] * num_cubes + [("sphere", None)] * num_spheres
         )
 
-    def kernel(scal_ref, cam_ref, geo_ref, gmat_ref, mat_ref, px_ref, py_ref,
-               or_ref, og_ref, ob_ref):
+    def kernel(*_refs):
+        if env_exact is not None:
+            # three extra VMEM inputs: the strength-folded env radiance,
+            # one PRE-TRANSPOSED [Wp, Hp] plane per channel (transposing
+            # outside keeps the in-kernel gather free of relayouts)
+            (scal_ref, cam_ref, geo_ref, gmat_ref, mat_ref,
+             er_ref, eg_ref, eb_ref, px_ref, py_ref,
+             or_ref, og_ref, ob_ref) = _refs
+        else:
+            (scal_ref, cam_ref, geo_ref, gmat_ref, mat_ref, px_ref, py_ref,
+             or_ref, og_ref, ob_ref) = _refs
         # tile_base keeps RNG streams tied to the *global* tile decomposition
         # when a dp shard renders a pixel slice (parallel.shard): local tile t
         # of the shard at pixel_offset seeds exactly like global tile
@@ -921,6 +989,73 @@ def _make_kernel(
             return (m_cr, m_cg, m_cb, m_sr, m_sg, m_sb, m_refl, m_refr,
                     m_emit)
 
+        if env_exact is not None:
+            # ── exact in-kernel HDR environment (env_mode='exact') ──
+            # The reference evaluates its env light inside the shade kernel
+            # (`pathtrace.cu:357-365`); the TPU counterpart of its per-thread
+            # texture fetch is a one-hot MXU row gather. A path can miss at
+            # most once (a miss terminates it), so each sample chain DEFERS
+            # its miss to six registers (throughput + direction at escape)
+            # and pays ONE bilinear gather per sample after the bounce loop
+            # instead of one per bounce. Per sublane row r of the tile, the
+            # y one-hot (bilinear weights folded in) is built as [Hp, 128]
+            # by comparing a sublane iota against the row's [1, 128] slice
+            # — a native sublane broadcast, no relayout — then matmul'd
+            # against the pre-transposed radiance plane [Wp, Hp] on the
+            # MXU; the x one-hot selects elementwise and a sublane reduce
+            # yields [1, 128], the output row's native layout.
+            env_h, env_w, env_hp, env_wp = env_exact
+            _env_iy = jax.lax.broadcasted_iota(jnp.int32, (env_hp, LANES), 0)
+            _env_ix = jax.lax.broadcasted_iota(jnp.int32, (env_wp, LANES), 0)
+            # hoist the plane loads to kernel entry (scalar/VMEM reads
+            # inside the sample loop stall the vector pipeline)
+            _env_planes = (er_ref[:], eg_ref[:], eb_ref[:])
+
+            def env_lookup(edx, edy, edz):
+                """ops.envmap.env_radiance semantics (bilinear, wrap in
+                azimuth, clamp at poles); strength is folded into the
+                planes outside the kernel."""
+                u = 0.5 + _patan2(edx, -edz) * jnp.float32(1.0 / _TWO_PI)
+                v = _pacos(jnp.clip(edy, -1.0, 1.0)) * jnp.float32(1.0 / _PI)
+                fx = u * env_w - 0.5
+                fy = v * env_h - 0.5
+                x0 = jnp.floor(fx)
+                y0 = jnp.floor(fy)
+                tx = fx - x0
+                ty = fy - y0
+                x0i = x0.astype(jnp.int32)
+                x0i = jnp.where(
+                    x0i < 0, env_w - 1, jnp.minimum(x0i, env_w - 1)
+                )
+                x1i = jnp.where(x0i + 1 > env_w - 1, 0, x0i + 1)
+                y0i = jnp.clip(y0.astype(jnp.int32), 0, env_h - 1)
+                y1i = jnp.minimum(y0i + 1, env_h - 1)
+                zero = jnp.float32(0.0)
+                rows = ([], [], [])
+                for r in range(TILE_ROWS):
+                    wy = jnp.where(
+                        _env_iy == y0i[r:r + 1, :], 1.0 - ty[r:r + 1, :],
+                        zero,
+                    ) + jnp.where(
+                        _env_iy == y1i[r:r + 1, :], ty[r:r + 1, :], zero
+                    )
+                    wx = jnp.where(
+                        _env_ix == x0i[r:r + 1, :], 1.0 - tx[r:r + 1, :],
+                        zero,
+                    ) + jnp.where(
+                        _env_ix == x1i[r:r + 1, :], tx[r:r + 1, :], zero
+                    )
+                    for c in range(3):
+                        tmp = jax.lax.dot_general(
+                            _env_planes[c], wy, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # [Wp, 128]
+                        rows[c].append(
+                            jnp.sum(wx * tmp, axis=0, keepdims=True)
+                        )
+                return tuple(jnp.concatenate(ch, axis=0) for ch in rows)
+
         # With no sub-pixel jitter the primary ray — and therefore the
         # bounce-0 hit and its material row — is the same for EVERY sample
         # in the batch: hoist that intersection out of the sample loop and
@@ -1003,6 +1138,18 @@ def _make_kernel(
                 # primary ray (weight 1). Appended LAST so st[9] stays the
                 # bounces-remaining slot early_exit keys on.
                 st = st + (jnp.full(shape, -1.0, jnp.float32),)
+            if env_exact is not None:
+                # deferred-miss registers: throughput + direction at escape
+                # (w=0 nullifies the post-loop gather for paths that never
+                # miss; the default direction only needs to be valid input)
+                st = st + (
+                    jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32),
+                    jnp.ones(shape, jnp.float32),
+                    jnp.zeros(shape, jnp.float32),
+                )
             return st
 
         def make_bounce(iteration):
@@ -1010,6 +1157,7 @@ def _make_kernel(
                 (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                  rad_r, rad_g, rad_b) = st[:13]
                 prev_pdf = st[13] if nee is not None else None
+                env_regs = list(st[-6:]) if env_exact is not None else None
                 if ablation == "noprng":
                     u_rr = u_branch = u_a = u_b = px * 0.001
                     if nee is not None:
@@ -1066,7 +1214,20 @@ def _make_kernel(
                 missed = best_t >= _MISS
                 alive = bounces > 0
 
-                if env_split is not None:
+                if env_exact is not None:
+                    # ── deferred exact env miss (env_mode='exact'): record
+                    # throughput + direction; the bilinear gather happens
+                    # once per sample in accumulate(), not per bounce ──
+                    esc = missed & alive
+                    env_regs = [
+                        jnp.where(esc, cr, env_regs[0]),
+                        jnp.where(esc, cg, env_regs[1]),
+                        jnp.where(esc, cb, env_regs[2]),
+                        jnp.where(esc, dx, env_regs[3]),
+                        jnp.where(esc, dy, env_regs[4]),
+                        jnp.where(esc, dz, env_regs[5]),
+                    ]
+                elif env_split is not None:
                     # ── SH-9 residual sky (env_mode='split'; the suns are
                     # handled by the deterministic table below and the
                     # depth-0 background outside the kernel when
@@ -1199,7 +1360,10 @@ def _make_kernel(
                     ox = ox + u_a * 0.001  # keep u's live
                     out = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                            rad_r, rad_g, rad_b)
-                    return out if nee is None else out + (prev_pdf,)
+                    out = out if nee is None else out + (prev_pdf,)
+                    return (
+                        out if env_regs is None else out + tuple(env_regs)
+                    )
                 nx, ny, nz = best_nx, best_ny, best_nz
                 rough = 1.0 - m_refr
                 spec = act & (m_refl > 0.0) & (u_branch < m_refl)
@@ -1481,7 +1645,8 @@ def _make_kernel(
 
                 out = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                        rad_r, rad_g, rad_b)
-                return out if nee is None else out + (prev_pdf,)
+                out = out if nee is None else out + (prev_pdf,)
+                return out if env_regs is None else out + tuple(env_regs)
 
             return bounce_body
 
@@ -1490,6 +1655,16 @@ def _make_kernel(
             (_, _, _, _, _, _, cr, cg, cb, _, rad_r, rad_g, rad_b) = st[:13]
             if legacy:
                 return (acc_r + cr, acc_g + cg, acc_b + cb)
+            if env_exact is not None:
+                # settle the sample's deferred env miss: one bilinear MXU
+                # gather per sample (never-missed lanes carry weight 0)
+                e_wr, e_wg, e_wb, e_dx, e_dy, e_dz = st[-6:]
+                er, eg, eb = env_lookup(e_dx, e_dy, e_dz)
+                return (
+                    acc_r + rad_r + e_wr * er,
+                    acc_g + rad_g + e_wg * eg,
+                    acc_b + rad_b + e_wb * eb,
+                )
             return (acc_r + rad_r, acc_g + rad_g, acc_b + rad_b)
 
         def bounce_step(bounce_fn, depth, st):
@@ -1552,9 +1727,14 @@ def _make_kernel(
 def supports(scene: Scene) -> bool:
     from .. import fast
 
-    # envmap scenes run the XLA fast pipeline (the HDR gathers + alias
-    # draws have no in-kernel Mosaic counterpart yet)
-    return fast.supports(scene) and scene.envmap is None
+    # envmap scenes: carried in-kernel (exact bilinear via one-hot MXU
+    # gathers, or the sun/sky split) up to the VMEM/matmul budget; larger
+    # maps run exact only on the XLA fast pipeline
+    if scene.envmap is not None:
+        h, w = scene.envmap.shape
+        if h * w > MAX_ENV_EXACT_TEXELS:
+            return False
+    return fast.supports(scene)
 
 
 def render_samples(
@@ -1594,14 +1774,28 @@ def render_samples(
         geom_kinds = _static_geom_kinds(scene)
     if scene_static is None:
         scene_static = _static_scene_tables(scene)
+    env_exact = None
     if env_split is None and scene.envmap is not None:
-        if getattr(config, "env_mode", "exact") != "split":
-            raise ValueError(
-                "the megakernel carries ENVIRONMENT scenes only through "
-                "env_mode='split' (sun/sky decomposition); exact env "
-                "lighting runs on the XLA fast pipeline"
-            )
-        env_split = _static_env_split(scene, config)
+        if getattr(config, "env_mode", "exact") == "split":
+            env_split = _static_env_split(scene, config)
+        else:
+            # exact mode: in-kernel bilinear gather. Env NEE (importance
+            # sampling the map) stays on the XLA fast pipeline — the alias
+            # draw's flat-table gathers have no in-kernel counterpart.
+            if getattr(config, "nee", False):
+                raise ValueError(
+                    "the megakernel's exact env mode is BRDF-sampling only "
+                    "(the reference estimator); env NEE+MIS runs on "
+                    "pipeline='fast'"
+                )
+            h, w = scene.envmap.shape
+            if h * w > MAX_ENV_EXACT_TEXELS:
+                raise ValueError(
+                    f"env_mode='exact' in-kernel supports maps up to "
+                    f"{MAX_ENV_EXACT_TEXELS} texels (got {h}x{w}); use "
+                    "env_mode='split' or pipeline='fast'"
+                )
+            env_exact = _static_env_exact(scene)
     if nee_static is None and getattr(config, "nee", False):
         if config.gather_mode != "light_only":
             raise ValueError("nee requires gather_mode='light_only'")
@@ -1627,7 +1821,7 @@ def render_samples(
         pixel_offset, num_pixels, ABLATION, interleave, geom_kinds,
         scene_static, tile_base,
         EARLY_EXIT or getattr(config, "early_exit", False),
-        HOIST_PRIMARY, nee_static, env_split,
+        HOIST_PRIMARY, nee_static, env_split, env_exact,
     )
 
 
@@ -1656,12 +1850,31 @@ def render_tiles(
     the result back). Returns the [K·TILE, 3] radiance sum over the batch.
     K is static (from the shapes); tile selection is data, so refining a
     different tile set never recompiles."""
+    env_exact = None
     if scene.envmap is not None:
-        raise ValueError(
-            "render_tiles (adaptive sampling) does not carry ENVIRONMENT "
-            "scenes yet — the exact-background composite needs the full "
-            "frame; render dense via env_mode='split' or the fast pipeline"
-        )
+        # exact mode works per-tile natively (misses — including primary
+        # ones — settle in-kernel, no full-frame composite); split mode's
+        # exact-background composite needs the full frame, so it still
+        # routes to dense rendering.
+        if getattr(config, "env_mode", "exact") == "split":
+            raise ValueError(
+                "render_tiles (adaptive sampling) does not carry "
+                "env_mode='split' — its exact-background composite needs "
+                "the full frame; use env_mode='exact' or render dense"
+            )
+        if getattr(config, "nee", False):
+            raise ValueError(
+                "render_tiles: exact env is BRDF-sampling only; env "
+                "NEE+MIS runs on pipeline='fast'"
+            )
+        h, w = scene.envmap.shape
+        if h * w > MAX_ENV_EXACT_TEXELS:
+            raise ValueError(
+                f"env_mode='exact' in-kernel supports maps up to "
+                f"{MAX_ENV_EXACT_TEXELS} texels (got {h}x{w}); use "
+                "env_mode='split' or pipeline='fast'"
+            )
+        env_exact = _static_env_exact(scene)
     if geom_kinds is None:
         geom_kinds = _static_geom_kinds(scene)
     if scene_static is None:
@@ -1685,7 +1898,7 @@ def render_tiles(
         scene, config, seed, tile_ids, iter_bases, px, py, num_samples,
         interpret, ABLATION, interleave, geom_kinds, scene_static,
         EARLY_EXIT or getattr(config, "early_exit", False),
-        HOIST_PRIMARY, nee_static,
+        HOIST_PRIMARY, nee_static, env_exact,
     )
 
 
@@ -1694,7 +1907,7 @@ def render_tiles(
     static_argnames=(
         "config", "num_samples", "interpret", "ablation", "interleave",
         "geom_kinds", "scene_static", "early_exit", "hoist_primary",
-        "nee_static",
+        "nee_static", "env_exact",
     ),
 )
 def _render_tiles_impl(
@@ -1714,6 +1927,7 @@ def _render_tiles_impl(
     early_exit: bool,
     hoist_primary: bool,
     nee_static,
+    env_exact=None,
 ) -> jnp.ndarray:
     cam = scene.camera
     w, h = cam.resolution
@@ -1777,7 +1991,22 @@ def _render_tiles_impl(
             else 0
         ),
         adaptive_grid=k_tiles,
+        env_exact=env_exact,
     )
+
+    env_planes = ()
+    env_specs = []
+    if env_exact is not None:
+        eh, ew, ehp, ewp = env_exact
+        et = jnp.transpose(scene.envmap.img * scene.envmap.strength,
+                           (2, 1, 0))  # [3, W, H]
+        et = jnp.pad(et, ((0, 0), (0, ewp - ew), (0, ehp - eh)))
+        env_planes = (et[0], et[1], et[2])
+        env_specs = [
+            pl.BlockSpec(
+                (ewp, ehp), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        ] * 3
 
     block = pl.BlockSpec(
         (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -1791,6 +2020,7 @@ def _render_tiles_impl(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # geo
             pl.BlockSpec(memory_space=pltpu.SMEM),  # geo material ids
             pl.BlockSpec(memory_space=pltpu.SMEM),  # materials
+            *env_specs,  # env radiance planes (env_mode='exact' only)
             block,  # px
             block,  # py
         ],
@@ -1801,7 +2031,7 @@ def _render_tiles_impl(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ),
         interpret=interpret,
-    )(scal, cam_vec, geo, geo_mat, mats, px, py)
+    )(scal, cam_vec, geo, geo_mat, mats, *env_planes, px, py)
 
     return jnp.stack(
         [out_r.reshape(-1), out_g.reshape(-1), out_b.reshape(-1)], axis=-1
@@ -1814,6 +2044,7 @@ def _render_tiles_impl(
         "config", "num_samples", "interpret", "num_pixels",
         "ablation", "interleave", "geom_kinds", "scene_static",
         "early_exit", "hoist_primary", "nee_static", "env_split",
+        "env_exact",
     ),
 )
 def _render_samples_impl(
@@ -1834,6 +2065,7 @@ def _render_samples_impl(
     hoist_primary: bool = False,
     nee_static=None,
     env_split=None,
+    env_exact=None,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch.
 
@@ -1928,7 +2160,24 @@ def _render_samples_impl(
             else 0
         ),
         env_split=env_split,
+        env_exact=env_exact,
     )
+
+    env_planes = ()
+    env_specs = []
+    if env_exact is not None:
+        # strength-folded, channel-planar, PRE-TRANSPOSED [Wp, Hp] inputs
+        # (transposing outside keeps the in-kernel gather relayout-free)
+        eh, ew, ehp, ewp = env_exact
+        et = jnp.transpose(scene.envmap.img * scene.envmap.strength,
+                           (2, 1, 0))  # [3, W, H]
+        et = jnp.pad(et, ((0, 0), (0, ewp - ew), (0, ehp - eh)))
+        env_planes = (et[0], et[1], et[2])
+        env_specs = [
+            pl.BlockSpec(
+                (ewp, ehp), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        ] * 3
 
     grid = n_pad // TILE
     block = pl.BlockSpec(
@@ -1943,6 +2192,7 @@ def _render_samples_impl(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # geo
             pl.BlockSpec(memory_space=pltpu.SMEM),  # geo material ids
             pl.BlockSpec(memory_space=pltpu.SMEM),  # materials
+            *env_specs,  # env radiance planes (env_mode='exact' only)
             block,  # px
             block,  # py
         ],
@@ -1953,7 +2203,7 @@ def _render_samples_impl(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         ),
         interpret=interpret,
-    )(scal, cam_vec, geo, geo_mat, mats, px, py)
+    )(scal, cam_vec, geo, geo_mat, mats, *env_planes, px, py)
 
     rad = jnp.stack(
         [out_r.reshape(-1)[:n], out_g.reshape(-1)[:n], out_b.reshape(-1)[:n]],

@@ -162,7 +162,11 @@ def render_chunk_sharded_pallas(
                 "make_sharded_pallas_step (which derives it while the "
                 "scene is concrete)"
             ) from e
-    if env_split is None and scene.envmap is not None:
+    if (
+        env_split is None
+        and scene.envmap is not None
+        and getattr(config, "env_mode", "exact") == "split"
+    ):
         try:
             env_split = megakernel._static_env_split(scene, config)
         except Exception as e:  # tracer scene: tables must come from outside
@@ -170,6 +174,9 @@ def render_chunk_sharded_pallas(
                 "sharded env_mode='split' needs the concrete sun/SH tables "
                 "— call via make_sharded_pallas_step"
             ) from e
+    # env_mode='exact' needs nothing here: render_samples derives the
+    # in-kernel gather dims from shapes alone (tracer-safe) and the planes
+    # ride the sharded scene's replicated EnvMap leaves
 
     # Each shard's kernel tiles seed RNG as (global tile_base + local tile).
     # tile_base must be unique per shard: offset // TILE collides when the
@@ -220,12 +227,6 @@ def make_sharded_pallas_step(
     config = _resolve_dof(scene, config)
     from ..ops.pallas import megakernel
 
-    if scene.envmap is not None and config.env_mode != "split":
-        raise ValueError(
-            "the sharded megakernel carries ENVIRONMENT scenes only via "
-            "env_mode='split'; exact env lighting shards through "
-            "make_sharded_step (fast/XLA pipeline)"
-        )
     fn = partial(
         render_chunk_sharded_pallas,
         config=config,
@@ -243,7 +244,7 @@ def make_sharded_pallas_step(
         ),
         env_split=(
             megakernel._static_env_split(scene, config)
-            if scene.envmap is not None
+            if scene.envmap is not None and config.env_mode == "split"
             else None
         ),
     )

@@ -155,10 +155,24 @@ class RenderConfig:
         except Exception:
             on_tpu = False
 
-        # envmap scenes: the megakernel carries them only through the
-        # sun/sky split approximation (env_mode='split'); exact mode
-        # routes TPU to the XLA fast pipeline instead of pallas
-        env_free = scene.envmap is None or self.env_mode == "split"
+        # envmap scenes on the megakernel: sun/sky split always; exact mode
+        # in-kernel (one-hot MXU bilinear gather) when the map fits the
+        # VMEM/matmul budget and the estimator is plain BRDF sampling —
+        # env NEE (importance-sampled map) stays on the XLA fast pipeline
+        env_ok_exact = False
+        if (
+            scene.envmap is not None
+            and self.env_mode == "exact"
+            and not self.nee
+            and self.gather_mode == "light_only"
+        ):
+            from ..ops.pallas import megakernel as mk_mod
+
+            h, w = scene.envmap.shape
+            env_ok_exact = h * w <= mk_mod.MAX_ENV_EXACT_TEXELS
+        env_free = (
+            scene.envmap is None or self.env_mode == "split" or env_ok_exact
+        )
 
         if self.nee:
             # direct light sampling: in-kernel on the TPU megakernel
@@ -414,18 +428,18 @@ def make_pallas_step(interpret: bool = False, scene: Scene = None,
 
     geom_kinds = scene_static = nee_static = env_split = None
     if scene is not None:
-        if scene.envmap is not None and (
-            config is None or config.env_mode != "split"
-        ):
-            raise ValueError(
-                "pipeline='pallas' carries ENVIRONMENT-map scenes only via "
-                "env_mode='split' (sun/sky decomposition); exact env "
-                "lighting runs on pipeline='fast' or 'auto'"
-            )
         geom_kinds = megakernel._static_geom_kinds(scene)
         scene_static = megakernel._static_scene_tables(scene)
-        if scene.envmap is not None and config is not None:
+        if (
+            scene.envmap is not None
+            and config is not None
+            and config.env_mode == "split"
+        ):
             env_split = megakernel._static_env_split(scene, config)
+        # env_mode='exact' needs no pre-derivation: the in-kernel gather's
+        # static dims are shape-only (megakernel._static_env_exact) and the
+        # wrapper derives them per call; invalid combos (env NEE, oversize
+        # maps) raise inside render_samples with actionable messages
         if config is not None and config.nee:
             nee_static = megakernel._static_light_table(scene)
             if nee_static is None and scene.envmap is None:

@@ -99,6 +99,37 @@ def test_adaptive_all_tiles_matches_dense_megakernel_depth1_sobol(scene):
     assert np.isfinite(total).all()
 
 
+def test_adaptive_env_exact_matches_dense():
+    """Adaptive × envmap closure (exact mode): render_tiles carries the
+    in-kernel bilinear env gather, and — since misses settle per tile with
+    no full-frame composite — the depth-1 sobol decomposition-independence
+    proof extends verbatim to env scenes: spatial-block tiles reproduce the
+    dense env render bit-exactly."""
+    import os
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.scene.parser import (
+        load_scene_desc,
+    )
+
+    scenes = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    desc = load_scene_desc(os.path.join(scenes, "env_spheres.txt"))
+    desc.camera.resolution = (64, 64)
+    env_scene = Scene.from_desc(desc)
+
+    cfg = RenderConfig(trace_depth=1, sampler="sobol", ld_depths=1)
+    k = 2
+    dense = np.asarray(
+        megakernel.render_samples(
+            env_scene, cfg, jnp.int32(7), jnp.int32(1), k, interpret=True
+        )
+    )
+    r = AdaptiveRenderer(env_scene, cfg, seed=0, interpret=True)
+    r._seed = jnp.int32(7)
+    r.warmup(2 * k)
+    a_only = np.asarray(r._acc_a[: r._n])
+    assert np.array_equal(a_only, dense)
+
+
 def test_render_budget_loop(scene):
     cfg = RenderConfig(trace_depth=2)
     r = AdaptiveRenderer(scene, cfg, interpret=True)

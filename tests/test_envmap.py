@@ -467,9 +467,65 @@ def test_megakernel_split_matches_exact():
     )
 
 
-def test_megakernel_split_mode_required():
+# ─────────────── exact in-kernel env (megakernel env_mode='exact') ───────────
+
+
+def test_megakernel_env_exact_matches_fast():
+    """env_mode='exact' runs IN-KERNEL on the megakernel (deferred-miss
+    registers + one one-hot MXU bilinear gather per sample — the TPU
+    counterpart of the reference evaluating its env light inside the shade
+    kernel, `pathtrace.cu:357-365`). Pins: background rows (pure primary
+    miss, deterministic — spp-independent) match the XLA fast pipeline's
+    bilinear lookup near-exactly (the only deltas are the polynomial
+    atan2/acos, |err| ~1e-7 rad, and matmul-vs-lerp rounding); the lit
+    frame matches statistically (same unbiased BRDF-sampling estimator,
+    different RNG streams)."""
+    desc = load_scene_desc(os.path.join(SCENES, "env_spheres.txt"))
+    desc.camera.resolution = (64, 64)
+    scene = Scene.from_desc(desc)
+
+    mk = _split_render(scene, RenderConfig(trace_depth=3), 16, 3)
+
+    r = Renderer(
+        desc,
+        RenderConfig(trace_depth=3, samples_per_launch=16, pipeline="fast"),
+        seed=1,
+    )
+    r.render(64)
+    fast = np.asarray(r.state.accum) / 64
+
+    w = 64
+    assert np.isfinite(mk).all()
+    np.testing.assert_allclose(mk[: 3 * w], fast[: 3 * w], rtol=3e-4,
+                               atol=1e-5)
+    assert abs(mk.mean() - fast.mean()) / fast.mean() < 0.03
+    corr = np.corrcoef(mk.mean(-1), fast.mean(-1))[0, 1]
+    assert corr > 0.97
+
+
+def test_megakernel_env_exact_nee_routes_fast():
+    """Env NEE (importance-sampled map) has no in-kernel alias gather —
+    the megakernel refuses it with a pointer to pipeline='fast'."""
     desc = load_scene_desc(os.path.join(SCENES, "env_spheres.txt"))
     desc.camera.resolution = (32, 32)
     scene = Scene.from_desc(desc)
+    with pytest.raises(ValueError, match="fast"):
+        _split_render(scene, RenderConfig(trace_depth=2, nee=True), 2, 2)
+
+
+def test_megakernel_env_exact_size_cap():
+    """Maps past MAX_ENV_EXACT_TEXELS don't fit the in-kernel VMEM/matmul
+    budget: supports() routes them off the megakernel and render_samples
+    raises actionably."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import (
+        megakernel,
+    )
+
+    desc = load_scene_desc(os.path.join(SCENES, "env_spheres.txt"))
+    desc.camera.resolution = (32, 32)
+    scene = Scene.from_desc(desc)
+    big = em.build_envmap(np.ones((512, 520, 3), np.float32))
+    scene = scene.replace(envmap=big)
+    assert not megakernel.supports(scene)
     with pytest.raises(ValueError, match="split"):
         _split_render(scene, RenderConfig(trace_depth=2), 2, 2)
