@@ -43,6 +43,7 @@ LANES = 128
 TILE = TILE_ROWS * LANES
 
 _PI = 3.14159265358979323846
+_TWO_PI = 6.283185307179586
 _INV_PI = 0.3183098861837907
 _FMAX = 3.402823466e38
 _MISS = 1e30
