@@ -25,7 +25,7 @@ The AABB slab test replicates ``intersectAABB`` (`:113-128`): tmin starts at
 0, tmax at FLT_MAX, slabs swapped by direction sign, miss when
 ``tmax <= tmin`` — including its IEEE behavior for axis-parallel rays.
 
-If the native C++ builder (native/src/bvh.cc) is available it is used for
+If the native C++ builder (native/src/ptruntime.cc) is available it is used for
 construction; the NumPy implementation is the reference semantics either way
 (both are tested for equivalence).
 """

@@ -184,15 +184,15 @@ def _tile_errors(
 
 @partial(
     jax.jit,
-    static_argnames=("config", "k", "n_sel", "interpret", "geom_kinds",
-                     "scene_static", "nee_static", "mesh"),
+    static_argnames=("config", "k", "n_sel", "n_disp", "interpret",
+                     "geom_kinds", "scene_static", "nee_static", "mesh"),
     donate_argnums=(1, 2, 3),
 )
 def _refine_round(
     scene: Scene,
     acc_a: jnp.ndarray,
     acc_b: jnp.ndarray,
-    counts: jnp.ndarray,  # [T] i32 per-buffer tile counts
+    counts: jnp.ndarray,  # [T+1] i32 per-buffer tile counts (+ trash entry)
     seed: jnp.ndarray,
     px_all: jnp.ndarray,
     py_all: jnp.ndarray,
@@ -201,6 +201,7 @@ def _refine_round(
     config: RenderConfig,
     k: int,
     n_sel: int,
+    n_disp: int,
     interpret: bool,
     geom_kinds: tuple,
     scene_static: tuple,
@@ -210,16 +211,22 @@ def _refine_round(
     """One fully device-resident refinement round: estimate per-tile noise,
     pick the `n_sel` tiles with the largest marginal MSE gain (lax.top_k),
     render `k` more samples into each half-buffer for them, bump their
-    counts. No host transfer anywhere — rounds stream to the device and
-    the Python loop never blocks."""
+    counts. `n_disp >= n_sel` pads the dispatch with the trash tile so the
+    2·n_disp-step grid splits evenly over a device mesh. No host transfer
+    anywhere — rounds stream to the device and the Python loop never
+    blocks."""
     err = _tile_errors(acc_a, acc_b, counts, idx_all, valid)
     # marginal gain of k more samples on tile t: err_t ≈ 2σ²/n_t, so
     # Δ(MSE) = σ²/(2n) − σ²/(2(n+k)) ∝ err·k/(n+k); k is shared → err/(n+k)
     gain = err / (counts.astype(jnp.float32) + jnp.float32(k))
-    _, sel = jax.lax.top_k(gain, n_sel)
+    _, sel = jax.lax.top_k(gain[:-1], n_sel)  # real tiles only
     sel = sel.astype(jnp.int32)
+    disp = sel
+    if n_disp > n_sel:
+        pad = jnp.full((n_disp - n_sel,), counts.shape[0] - 1, jnp.int32)
+        disp = jnp.concatenate([sel, pad])
     acc_a, acc_b = _dispatch_ab(
-        scene, acc_a, acc_b, seed, sel, counts[sel] * 2,
+        scene, acc_a, acc_b, seed, disp, counts[disp] * 2,
         px_all, py_all, idx_all, config, k, interpret, geom_kinds,
         scene_static, nee_static, mesh,
     )
@@ -284,16 +291,28 @@ class AdaptiveRenderer:
         self._n = w * h
         px, py, idx, valid = make_tile_layout(w, h, tile_shape)
         self.num_tiles = px.shape[0]
-        # multi-chip: the A/B warmup dispatch is a 2·T-step grid sharded
-        # over every mesh device (parallel.shard.render_tiles_sharded);
-        # refinement rounds round their selection up to the device count
+        # multi-chip: every dispatch is a 2·K-step grid split evenly over
+        # the mesh (parallel.shard.render_tiles_sharded), so K must be a
+        # multiple of the per-buffer quantum m (= n_dev for odd device
+        # counts, n_dev/2 for even). Selections round UP into real tiles
+        # first (padding slots do useful work when real tiles exist); any
+        # remainder past num_tiles dispatches the trailing TRASH TILE — a
+        # synthetic layout row whose lanes render tile 0's pixels but
+        # scatter into the accumulators' trash slot, so any frame/mesh
+        # combination is valid (no divisibility constraint on the layout).
         self._mesh = mesh
         self._n_dev = 1 if mesh is None else int(mesh.devices.size)
-        if (2 * self.num_tiles) % self._n_dev != 0:
-            raise ValueError(
-                f"2×{self.num_tiles} tiles not divisible by "
-                f"{self._n_dev} mesh devices"
-            )
+        self._quantum = (
+            1 if self._n_dev == 1
+            else (self._n_dev if self._n_dev % 2 else self._n_dev // 2)
+        )
+        self._pad_tile = self.num_tiles  # index of the trash-tile row
+        px = np.concatenate([px, px[:1]])
+        py = np.concatenate([py, py[:1]])
+        idx = np.concatenate(
+            [idx, np.full((1, idx.shape[1]), self._n, np.int32)]
+        )
+        valid = np.concatenate([valid, np.zeros(1, np.int32)])
         self._px_all = jnp.asarray(px)
         self._py_all = jnp.asarray(py)
         self._idx_all = jnp.asarray(idx)
@@ -303,8 +322,9 @@ class AdaptiveRenderer:
         self._acc_a = jnp.zeros((self._n + 1, 3), jnp.float32)
         self._acc_b = jnp.zeros((self._n + 1, 3), jnp.float32)
         # per-tile sample count PER BUFFER (total per pixel = 2×) — device-
-        # resident so refinement rounds never touch the host
-        self._counts = jnp.zeros(self.num_tiles, jnp.int32)
+        # resident so refinement rounds never touch the host; the trailing
+        # entry absorbs the trash tile's bookkeeping
+        self._counts = jnp.zeros(self.num_tiles + 1, jnp.int32)
         self._seed = jnp.asarray(
             np.uint32(jax.random.PRNGKey(seed)[-1]).astype(np.int32)
         )
@@ -329,16 +349,21 @@ class AdaptiveRenderer:
         """Uniform bootstrap: spp total samples (spp//2 per buffer) on every
         tile — the two-buffer oracle needs a baseline everywhere."""
         k = max(1, spp // 2)
-        ids = jnp.arange(self.num_tiles, dtype=jnp.int32)
+        # pad the all-tiles dispatch up to the mesh quantum with trash tiles
+        kd = -(-self.num_tiles // self._quantum) * self._quantum
+        ids = jnp.minimum(
+            jnp.arange(kd, dtype=jnp.int32), jnp.int32(self._pad_tile)
+        )
         t0 = time.perf_counter()
         self._acc_a, self._acc_b = _warmup_step(
             self.scene, self._acc_a, self._acc_b, self._seed, ids,
-            self._counts * 2, self._px_all, self._py_all, self._idx_all,
-            self.config, k, self._interpret, self._geom_kinds,
-            self._scene_static, self._nee_static, self._mesh,
+            (self._counts * 2)[ids], self._px_all, self._py_all,
+            self._idx_all, self.config, k, self._interpret,
+            self._geom_kinds, self._scene_static, self._nee_static,
+            self._mesh,
         )
-        self._counts = self._counts + jnp.int32(k)
-        self._lane_budget_spent += 2 * k * self.num_tiles * megakernel.TILE
+        self._counts = self._counts.at[: self.num_tiles].add(k)
+        self._lane_budget_spent += 2 * k * kd * megakernel.TILE
         self._wall += time.perf_counter() - t0
 
     def tile_errors(self) -> np.ndarray:
@@ -349,7 +374,7 @@ class AdaptiveRenderer:
                 self._acc_a, self._acc_b, self._counts,
                 self._idx_all, self._valid,
             )
-        )
+        )[: self.num_tiles]
 
     def refine(self, spp: int = 16, frac: float = 0.25) -> np.ndarray:
         """One adaptive round: give `spp` more samples each to the `frac`
@@ -359,20 +384,22 @@ class AdaptiveRenderer:
         inspect it pay for the sync)."""
         k = max(1, spp // 2)
         n_sel = max(1, int(round(self.num_tiles * frac)))
-        # sharded: the 2·n_sel-step dispatch must split evenly over the
-        # mesh, so round the selection up to a multiple of n_dev (n_dev
-        # odd) or n_dev/2 (even). num_tiles itself is such a multiple
-        # (checked at init), so the clamp preserves divisibility.
-        m = self._n_dev if self._n_dev % 2 else self._n_dev // 2
+        # sharded: the 2·n_disp-step dispatch must split evenly over the
+        # mesh, so round the selection up to a multiple of the quantum —
+        # into real tiles while any remain (the extra slots do useful
+        # work), then trash-tile padding for the remainder.
+        m = self._quantum
         n_sel = min(-(-n_sel // m) * m, self.num_tiles)
+        n_disp = -(-n_sel // m) * m
         t0 = time.perf_counter()
         self._acc_a, self._acc_b, self._counts, sel = _refine_round(
             self.scene, self._acc_a, self._acc_b, self._counts, self._seed,
             self._px_all, self._py_all, self._idx_all, self._valid,
-            self.config, k, n_sel, self._interpret, self._geom_kinds,
-            self._scene_static, self._nee_static, self._mesh,
+            self.config, k, n_sel, n_disp, self._interpret,
+            self._geom_kinds, self._scene_static, self._nee_static,
+            self._mesh,
         )
-        self._lane_budget_spent += 2 * k * n_sel * megakernel.TILE
+        self._lane_budget_spent += 2 * k * n_disp * megakernel.TILE
         self._wall += time.perf_counter() - t0
         return sel
 
@@ -484,8 +511,13 @@ class AdaptiveRenderer:
         from .checkpoint import load_adaptive_checkpoint
 
         state, meta = load_adaptive_checkpoint(path)
+        if state["counts"].shape[0] == self.num_tiles:
+            # pre-padding checkpoint format: counts lacked the trash entry
+            state["counts"] = jnp.concatenate(
+                [state["counts"], jnp.zeros(1, jnp.int32)]
+            )
         if state["acc_a"].shape != self._acc_a.shape or (
-            state["counts"].shape[0] != self.num_tiles
+            state["counts"].shape[0] != self.num_tiles + 1
         ):
             raise ValueError(
                 f"checkpoint layout ({state['acc_a'].shape[0] - 1} pixels, "

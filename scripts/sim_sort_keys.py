@@ -110,13 +110,21 @@ def key_current(o_, d_, bits_cells=(2,2,2), octant_major=False, dir_bits=0):
         cell_id = cell_id + c * mult
         mult <<= nb
     sub = np.zeros(len(o_), np.int64)
-    if dir_bits:  # sub-octant direction quantization: dominant-axis id
+    nsub = 1
+    if dir_bits == 1:  # sub-octant direction quantization: dominant-axis id
         ax = np.argmax(np.abs(d_), axis=1)
         sub = ax  # 3 values ~ 2 bits
+        nsub = 3
+    elif dir_bits >= 2:  # b bits per |component| within the octant
+        b = dir_bits
+        ad = np.abs(d_)
+        q = np.clip((ad * (1 << b)).astype(np.int64), 0, (1 << b) - 1)
+        sub = (q[:, 0] << (2 * b)) | (q[:, 1] << b) | q[:, 2]
+        nsub = 1 << (3 * b)
     if octant_major:
-        key = (oct_ * mult + cell_id) * (3 if dir_bits else 1) + sub
+        key = (oct_ * mult + cell_id) * nsub + sub
     else:
-        key = (cell_id * 8 + oct_) * (3 if dir_bits else 1) + sub
+        key = (cell_id * 8 + oct_) * nsub + sub
     return key
 
 def simulate(key):
@@ -150,6 +158,14 @@ variants = {
     "8x8x8+oct (12bit)": key_current(orig, d, bits_cells=(3,3,3)),
     "octant-major 4x4x4": key_current(orig, d, octant_major=True),
     "16x16x16+oct": key_current(orig, d, bits_cells=(4,4,4)),
+    # direction-resolution sweep (2026-08-20): every variant above varies
+    # only the ORIGIN grid; these refine the direction key past the octant
+    # — the bounce-1-specific reorder hypothesis (VERDICT r4 #5)
+    "4x4x4+oct+domaxis": key_current(orig, d, dir_bits=1),
+    "4x4x4+oct+dir2b": key_current(orig, d, dir_bits=2),
+    "2x2x2+oct+dir2b": key_current(orig, d, bits_cells=(1,1,1), dir_bits=2),
+    "2x2x2+oct+dir3b": key_current(orig, d, bits_cells=(1,1,1), dir_bits=3),
+    "dir-major oct+dir2b": key_current(orig, d, octant_major=True, dir_bits=2),
 }
 for name, key in variants.items():
     t0 = time.time()

@@ -218,12 +218,35 @@ def test_sharded_adaptive_partial_selection():
     del img_before
 
 
-def test_sharded_adaptive_rejects_indivisible_tiles(scene):
+def test_sharded_adaptive_pads_indivisible_tiles(scene):
+    """A 2-tile frame on the full 8-device mesh: the dispatch quantum is
+    m=4, so both warmup (2 real + 2 trash tiles) and refinement (2 real +
+    2 trash) pad with the synthetic trash tile — and the padded sharded
+    render stays bit-identical to the single-device one on every real
+    accumulator row (only the trash slot differs)."""
     from cosc_4397_pathtracing_raytracing_project_tpu.parallel import make_mesh
 
-    mesh = make_mesh(8)  # 2 tiles → 2K=4 steps, not divisible by 8
-    with pytest.raises(ValueError, match="divisible"):
-        AdaptiveRenderer(scene, RenderConfig(), interpret=True, mesh=mesh)
+    cfg = RenderConfig(trace_depth=2)
+    ref = AdaptiveRenderer(scene, cfg, interpret=True)
+    ref.warmup(4)
+    ref.refine(spp=2, frac=1.0)
+
+    mesh = make_mesh(8)  # 2 tiles → quantum 4 → trash-tile padding
+    r = AdaptiveRenderer(scene, cfg, interpret=True, mesh=mesh)
+    assert r.num_tiles == 2 and r._quantum == 4
+    r.warmup(4)
+    sel = r.refine(spp=2, frac=1.0)
+    assert len(sel) == 2  # selection reports real tiles only
+
+    n = r._n
+    assert np.array_equal(
+        np.asarray(ref._acc_a)[:n], np.asarray(r._acc_a)[:n]
+    )
+    assert np.array_equal(
+        np.asarray(ref._acc_b)[:n], np.asarray(r._acc_b)[:n]
+    )
+    assert np.array_equal(np.asarray(ref._counts), np.asarray(r._counts))
+    assert np.array_equal(ref.linear_image(), r.linear_image())
 
 
 def test_adaptive_checkpoint_resume_bit_identical(scene, tmp_path):

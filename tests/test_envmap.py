@@ -218,14 +218,19 @@ def test_parser_environment_block():
     assert desc.env_strength == 1.0
     scene = Scene.from_desc(desc)
     assert scene.envmap is not None
-    # envmap scenes route to the XLA fast pipeline (never the megakernel —
-    # no in-kernel HDR lookup)
+    # on CPU envmap scenes resolve to the XLA fast pipeline; the megakernel
+    # carries small maps in-kernel (exact one-hot MXU bilinear) up to its
+    # VMEM/matmul budget, so this 128x256 map is megakernel-supported and
+    # routes there on TPU (BRDF-only estimator)
     assert RenderConfig().resolve_pipeline(scene) == "fast"
     from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import (
         megakernel,
     )
 
-    assert not megakernel.supports(scene)
+    assert megakernel.supports(scene)
+    # maps past the in-kernel texel budget stay on the fast pipeline
+    big = scene.envmap.replace(img=jnp.zeros((512, 1024, 3), jnp.float32))
+    assert not megakernel.supports(scene.replace(envmap=big))
 
 
 def test_parser_environment_requires_file():
@@ -499,8 +504,18 @@ def test_megakernel_env_exact_matches_fast():
     np.testing.assert_allclose(mk[: 3 * w], fast[: 3 * w], rtol=3e-4,
                                atol=1e-5)
     assert abs(mk.mean() - fast.mean()) / fast.mean() < 0.03
-    corr = np.corrcoef(mk.mean(-1), fast.mean(-1))[0, 1]
-    assert corr > 0.97
+    # Correlate CLIPPED images: this scene's ~4000× sun makes BRDF-only
+    # estimates firefly-dominated, so unclipped per-pixel correlation is
+    # ~0 even between two fast-pipeline renders of different seeds
+    # (measured: fast16-vs-fast64 corr −0.004 unclipped, 0.912 clipped;
+    # mk-vs-fast64 0.910 clipped — the kernel matches the fast pipeline
+    # as well as the pipeline matches itself). Images are compared as
+    # clamped linear means anyway (the save transform clips), so the
+    # clipped metric is the one that matters.
+    cm = np.clip(mk, 0.0, 1.0).mean(-1)
+    cf = np.clip(fast, 0.0, 1.0).mean(-1)
+    corr = np.corrcoef(cm, cf)[0, 1]
+    assert corr > 0.85
 
 
 def test_megakernel_env_exact_nee_routes_fast():
