@@ -463,6 +463,8 @@ def _make_kernel(
     adaptive_grid: int = 0,  # K>0: per-grid-step tile ids/iter bases in scal
     env_split: tuple = None,  # (suns, sh, bg_external) — _static_env_split
     env_exact: tuple = None,  # (H, W, Hp, Wp) — in-kernel bilinear HDR env
+    env_nee: bool = False,  # in-kernel env NEE+MIS (shared per-(iter,depth)
+    # samples via a [S·D, 8] VMEM row table + a 4th [Wp, Hp] pdf plane)
 ):
     # legacy mode's sky multiply keeps updating terminated lanes (quirk
     # parity), so an all-dead bounce is NOT a no-op there — never skip
@@ -476,6 +478,12 @@ def _make_kernel(
             "env_mode='exact' (in-kernel) requires gather_mode='light_only' "
             "and excludes env_mode='split'"
         )
+    if env_nee and (env_exact is None or adaptive_grid or nee is not None):
+        raise ValueError(
+            "env_nee needs env_exact, excludes adaptive tile dispatch, and "
+            "replaces (not augments) the analytic light table"
+        )
+    carry_pdf = nee is not None or env_nee  # prev-lobe pdf rides the state
     k_total = num_cubes + num_spheres
     if not geom_kinds:
         geom_kinds = tuple(
@@ -483,7 +491,14 @@ def _make_kernel(
         )
 
     def kernel(*_refs):
-        if env_exact is not None:
+        if env_exact is not None and env_nee:
+            # exact-env inputs + the nearest-texel pdf plane (MIS partner
+            # of the deferred escape gather) + the per-(sample, depth)
+            # shared env light rows (dir, bilinear radiance, pdf)
+            (scal_ref, cam_ref, geo_ref, gmat_ref, mat_ref,
+             er_ref, eg_ref, eb_ref, ep_ref, envrows_ref, px_ref, py_ref,
+             or_ref, og_ref, ob_ref) = _refs
+        elif env_exact is not None:
             # three extra VMEM inputs: the strength-folded env radiance,
             # one PRE-TRANSPOSED [Wp, Hp] plane per channel (transposing
             # outside keeps the in-kernel gather free of relayouts)
@@ -1057,6 +1072,35 @@ def _make_kernel(
                         )
                 return tuple(jnp.concatenate(ch, axis=0) for ch in rows)
 
+            if env_nee:
+                _env_pplane = ep_ref[:]
+
+                def env_pdf_lookup(edx, edy, edz):
+                    """ops.envmap.env_pdf semantics: NEAREST texel (no −0.5
+                    offset, no wrap arithmetic — clip only), same one-hot
+                    MXU gather as env_lookup with single-texel weights."""
+                    u = 0.5 + _patan2(edx, -edz) * jnp.float32(1.0 / _TWO_PI)
+                    v = _pacos(jnp.clip(edy, -1.0, 1.0)) * jnp.float32(
+                        1.0 / _PI
+                    )
+                    xi = jnp.clip(
+                        (u * env_w).astype(jnp.int32), 0, env_w - 1
+                    )
+                    yi = jnp.clip(
+                        (v * env_h).astype(jnp.int32), 0, env_h - 1
+                    )
+                    out = []
+                    for r in range(TILE_ROWS):
+                        wy = (_env_iy == yi[r:r + 1, :]).astype(jnp.float32)
+                        wx = (_env_ix == xi[r:r + 1, :]).astype(jnp.float32)
+                        tmp = jax.lax.dot_general(
+                            _env_pplane, wy, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # [Wp, 128]
+                        out.append(jnp.sum(wx * tmp, axis=0, keepdims=True))
+                    return jnp.concatenate(out, axis=0)
+
         # With no sub-pixel jitter the primary ray — and therefore the
         # bounce-0 hit and its material row — is the same for EVERY sample
         # in the batch: hoist that intersection out of the sample loop and
@@ -1133,11 +1177,12 @@ def _make_kernel(
             rad_b = jnp.zeros(shape, jnp.float32)
             st = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                   rad_r, rad_g, rad_b)
-            if nee is not None:
+            if carry_pdf:
                 # solid-angle pdf of the lobe that produced this ray, for
-                # the next emissive hit's MIS weight; −1 = delta lobe /
-                # primary ray (weight 1). Appended LAST so st[9] stays the
-                # bounces-remaining slot early_exit keys on.
+                # the next emissive hit's (or env escape's) MIS weight;
+                # −1 = delta lobe / primary ray (weight 1). Appended LAST
+                # so st[9] stays the bounces-remaining slot early_exit
+                # keys on.
                 st = st + (jnp.full(shape, -1.0, jnp.float32),)
             if env_exact is not None:
                 # deferred-miss registers: throughput + direction at escape
@@ -1151,14 +1196,18 @@ def _make_kernel(
                     jnp.ones(shape, jnp.float32),
                     jnp.zeros(shape, jnp.float32),
                 )
+                if env_nee:
+                    # + the escaping ray's lobe pdf (MIS vs env sampling)
+                    st = st + (jnp.full(shape, -1.0, jnp.float32),)
             return st
 
         def make_bounce(iteration):
             def bounce_body(depth, st, pre=None):
                 (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                  rad_r, rad_g, rad_b) = st[:13]
-                prev_pdf = st[13] if nee is not None else None
-                env_regs = list(st[-6:]) if env_exact is not None else None
+                prev_pdf = st[13] if carry_pdf else None
+                n_ereg = (7 if env_nee else 6) if env_exact is not None else 0
+                env_regs = list(st[-n_ereg:]) if n_ereg else None
                 if ablation == "noprng":
                     u_rr = u_branch = u_a = u_b = px * 0.001
                     if nee is not None:
@@ -1220,7 +1269,7 @@ def _make_kernel(
                     # throughput + direction; the bilinear gather happens
                     # once per sample in accumulate(), not per bounce ──
                     esc = missed & alive
-                    env_regs = [
+                    new_regs = [
                         jnp.where(esc, cr, env_regs[0]),
                         jnp.where(esc, cg, env_regs[1]),
                         jnp.where(esc, cb, env_regs[2]),
@@ -1228,6 +1277,13 @@ def _make_kernel(
                         jnp.where(esc, dy, env_regs[4]),
                         jnp.where(esc, dz, env_regs[5]),
                     ]
+                    if env_nee:
+                        # the escaping ray's lobe pdf, for the MIS weight
+                        # applied to the deferred gather in accumulate()
+                        new_regs.append(
+                            jnp.where(esc, prev_pdf, env_regs[6])
+                        )
+                    env_regs = new_regs
                 elif env_split is not None:
                     # ── SH-9 residual sky (env_mode='split'; the suns are
                     # handled by the deterministic table below and the
@@ -1361,7 +1417,7 @@ def _make_kernel(
                     ox = ox + u_a * 0.001  # keep u's live
                     out = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                            rad_r, rad_g, rad_b)
-                    out = out if nee is None else out + (prev_pdf,)
+                    out = out + (prev_pdf,) if carry_pdf else out
                     return (
                         out if env_regs is None else out + tuple(env_regs)
                     )
@@ -1589,16 +1645,66 @@ def _make_kernel(
                     rad_g = jnp.where(add, rad_g + cg * m_cg * k_d * le_g, rad_g)
                     rad_b = jnp.where(add, rad_b + cb * m_cb * k_d * le_b, rad_b)
 
+                if env_nee:
+                    # ── direct environment light (extension; the in-kernel
+                    # twin of ops/shade.py's env NEE block). ONE shared env
+                    # sample per (iteration, depth): drawn OUTSIDE the
+                    # kernel from the alias table (ops.envmap.sample_env,
+                    # exact importance sampling) and carried in as a
+                    # [S·D, 8] VMEM row table (direction, bilinear
+                    # radiance, solid-angle pdf). Sharing the draw across
+                    # lanes leaves every pixel's mean AND variance
+                    # unchanged (each pixel still consumes one env draw
+                    # per bounce); it only correlates neighboring pixels'
+                    # noise — and it removes every per-lane table gather
+                    # from the hot loop (the row load is one dynamic
+                    # (1, 8) VMEM slice, the mesh kernel's proven
+                    # pattern). MIS partner: the deferred escape gather is
+                    # weighted by prev_pdf/(prev_pdf+pdf_env) in
+                    # accumulate(). ──
+                    erow = envrows_ref[
+                        pl.ds((iteration - iter_base) * trace_depth + depth,
+                              1), :,
+                    ]  # (1, 8)
+                    ewx, ewy, ewz = erow[0, 0], erow[0, 1], erow[0, 2]
+                    el_r, el_g, el_b = erow[0, 3], erow[0, 4], erow[0, 5]
+                    e_pdf = erow[0, 6]
+                    ecos = best_nx * ewx + best_ny * ewy + best_nz * ewz
+                    evis = ~occluded_any(
+                        hx, hy, hz, ewx, ewy, ewz, jnp.float32(1e7)
+                    )
+                    ebase = act & ~glass if enable_refraction else act
+                    ediff = 1.0 - m_refl
+                    e_pb = (
+                        ediff * jnp.maximum(ecos, 0.0)
+                        * jnp.float32(_INV_PI)
+                    )
+                    e_w = e_pdf / jnp.maximum(e_pdf + e_pb, 1e-20)
+                    e_k = (
+                        ediff * jnp.float32(_INV_PI)
+                        * jnp.maximum(ecos, 0.0)
+                        / jnp.maximum(e_pdf, jnp.float32(1e-20)) * e_w
+                    )
+                    eadd = ebase & (ecos > 0.0) & evis
+                    rad_r = jnp.where(eadd, rad_r + cr * m_cr * e_k * el_r,
+                                      rad_r)
+                    rad_g = jnp.where(eadd, rad_g + cg * m_cg * e_k * el_g,
+                                      rad_g)
+                    rad_b = jnp.where(eadd, rad_b + cb * m_cb * e_k * el_b,
+                                      rad_b)
+
+                if carry_pdf:
                     # density with which THIS vertex's lobe generated the
-                    # extension ray (next emissive hit's MIS weight):
-                    # diffuse lanes carry (1−P)·cosθ/π, delta lobes −1
+                    # extension ray (next emissive hit's / env escape's MIS
+                    # weight): diffuse lanes carry (1−P)·cosθ/π, delta
+                    # lobes −1
                     cos_new = jnp.maximum(ndx * nx + ndy * ny + ndz * nz, 0.0)
                     diffuse_ext = act & ~spec
                     if enable_refraction:
                         diffuse_ext = diffuse_ext & ~glass
                     prev_pdf = jnp.where(
                         diffuse_ext,
-                        diffuse_prob * cos_new * jnp.float32(_INV_PI),
+                        (1.0 - m_refl) * cos_new * jnp.float32(_INV_PI),
                         jnp.float32(-1.0),
                     )
 
@@ -1646,7 +1752,7 @@ def _make_kernel(
 
                 out = (ox, oy, oz, dx, dy, dz, cr, cg, cb, bounces,
                        rad_r, rad_g, rad_b)
-                out = out if nee is None else out + (prev_pdf,)
+                out = out + (prev_pdf,) if carry_pdf else out
                 return out if env_regs is None else out + tuple(env_regs)
 
             return bounce_body
@@ -1659,6 +1765,23 @@ def _make_kernel(
             if env_exact is not None:
                 # settle the sample's deferred env miss: one bilinear MXU
                 # gather per sample (never-missed lanes carry weight 0)
+                if env_nee:
+                    # + the nearest-texel pdf gather for the MIS weight
+                    # against env importance sampling (prev_pdf < 0 =
+                    # primary/specular/glass escape → weight 1)
+                    (e_wr, e_wg, e_wb, e_dx, e_dy, e_dz, e_pp) = st[-7:]
+                    er, eg, eb = env_lookup(e_dx, e_dy, e_dz)
+                    pe = env_pdf_lookup(e_dx, e_dy, e_dz)
+                    wmis = jnp.where(
+                        e_pp < 0.0,
+                        jnp.float32(1.0),
+                        e_pp * _recip(jnp.maximum(e_pp + pe, 1e-20)),
+                    )
+                    return (
+                        acc_r + rad_r + e_wr * er * wmis,
+                        acc_g + rad_g + e_wg * eg * wmis,
+                        acc_b + rad_b + e_wb * eb * wmis,
+                    )
                 e_wr, e_wg, e_wb, e_dx, e_dy, e_dz = st[-6:]
                 er, eg, eb = env_lookup(e_dx, e_dy, e_dz)
                 return (
@@ -1776,19 +1899,17 @@ def render_samples(
     if scene_static is None:
         scene_static = _static_scene_tables(scene)
     env_exact = None
+    env_nee = False
     if env_split is None and scene.envmap is not None:
         if getattr(config, "env_mode", "exact") == "split":
             env_split = _static_env_split(scene, config)
         else:
-            # exact mode: in-kernel bilinear gather. Env NEE (importance
-            # sampling the map) stays on the XLA fast pipeline — the alias
-            # draw's flat-table gathers have no in-kernel counterpart.
-            if getattr(config, "nee", False):
-                raise ValueError(
-                    "the megakernel's exact env mode is BRDF-sampling only "
-                    "(the reference estimator); env NEE+MIS runs on "
-                    "pipeline='fast'"
-                )
+            # exact mode: in-kernel bilinear gather; with config.nee the
+            # environment is additionally importance-sampled in-kernel
+            # (shared per-(iteration, depth) alias draws — see the kernel's
+            # env NEE block). Scenes mixing an envmap with analytic
+            # emissive lights keep routing to the fast pipeline (the
+            # combined two-technique NEE is not in-kernel).
             h, w = scene.envmap.shape
             if h * w > MAX_ENV_EXACT_TEXELS:
                 raise ValueError(
@@ -1797,7 +1918,19 @@ def render_samples(
                     "env_mode='split' or pipeline='fast'"
                 )
             env_exact = _static_env_exact(scene)
-    if nee_static is None and getattr(config, "nee", False):
+            if getattr(config, "nee", False):
+                if config.gather_mode != "light_only":
+                    raise ValueError("nee requires gather_mode='light_only'")
+                if (nee_static is not None) or (
+                    nee_static is None and _static_light_table(scene)
+                    is not None
+                ):
+                    raise ValueError(
+                        "exact env + analytic emissive lights: the combined "
+                        "two-technique NEE runs on pipeline='fast'"
+                    )
+                env_nee = True
+    if not env_nee and nee_static is None and getattr(config, "nee", False):
         if config.gather_mode != "light_only":
             raise ValueError("nee requires gather_mode='light_only'")
         nee_static = _static_light_table(scene)
@@ -1822,7 +1955,7 @@ def render_samples(
         pixel_offset, num_pixels, ABLATION, interleave, geom_kinds,
         scene_static, tile_base,
         EARLY_EXIT or getattr(config, "early_exit", False),
-        HOIST_PRIMARY, nee_static, env_split, env_exact,
+        HOIST_PRIMARY, nee_static, env_split, env_exact, env_nee,
     )
 
 
@@ -1865,8 +1998,9 @@ def render_tiles(
             )
         if getattr(config, "nee", False):
             raise ValueError(
-                "render_tiles: exact env is BRDF-sampling only; env "
-                "NEE+MIS runs on pipeline='fast'"
+                "render_tiles (adaptive sampling): env NEE rows are keyed "
+                "by dense absolute iterations, which per-tile bases break; "
+                "render dense (render_samples) or use pipeline='fast'"
             )
         h, w = scene.envmap.shape
         if h * w > MAX_ENV_EXACT_TEXELS:
@@ -2039,13 +2173,41 @@ def _render_tiles_impl(
     )
 
 
+def _build_env_nee_rows(env, seed, iter_base, num_samples, trace_depth):
+    """[S·D, 8] shared env-NEE rows for the in-kernel estimator: one alias
+    draw per (iteration, depth) — (dir xyz, BILINEAR radiance rgb,
+    solid-angle pdf, pad). Radiance is bilinear (not the sampler's
+    nearest-texel) so both MIS techniques integrate the SAME L as the
+    deferred miss gather (see ops/shade.py's env NEE block). Deterministic
+    in (seed, absolute iteration, depth): chunked renders and resumes
+    continue the stream exactly."""
+    from .. import envmap as envmap_ops
+
+    key = jax.random.PRNGKey(
+        jnp.asarray(seed, jnp.int32).astype(jnp.uint32)
+        ^ jnp.uint32(0xE17B0075)
+    )
+    iters = jnp.asarray(iter_base, jnp.int32) + jnp.arange(
+        num_samples, dtype=jnp.int32
+    )
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, iters)
+    u = jax.vmap(
+        lambda k: jax.random.uniform(k, (trace_depth, 2), jnp.float32)
+    )(keys).reshape(num_samples * trace_depth, 2)
+    d, _le_nearest, pdf = envmap_ops.sample_env(env, u[:, 0], u[:, 1])
+    le = envmap_ops.env_radiance(env, d)
+    return jnp.concatenate(
+        [d, le, pdf[:, None], jnp.zeros_like(pdf)[:, None]], axis=-1
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "config", "num_samples", "interpret", "num_pixels",
         "ablation", "interleave", "geom_kinds", "scene_static",
         "early_exit", "hoist_primary", "nee_static", "env_split",
-        "env_exact",
+        "env_exact", "env_nee",
     ),
 )
 def _render_samples_impl(
@@ -2067,6 +2229,7 @@ def _render_samples_impl(
     nee_static=None,
     env_split=None,
     env_exact=None,
+    env_nee: bool = False,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch.
 
@@ -2162,6 +2325,7 @@ def _render_samples_impl(
         ),
         env_split=env_split,
         env_exact=env_exact,
+        env_nee=env_nee,
     )
 
     env_planes = ()
@@ -2174,11 +2338,29 @@ def _render_samples_impl(
                            (2, 1, 0))  # [3, W, H]
         et = jnp.pad(et, ((0, 0), (0, ewp - ew), (0, ehp - eh)))
         env_planes = (et[0], et[1], et[2])
-        env_specs = [
-            pl.BlockSpec(
-                (ewp, ehp), lambda i: (0, 0), memory_space=pltpu.VMEM
+        plane_spec = pl.BlockSpec(
+            (ewp, ehp), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        env_specs = [plane_spec] * 3
+        if env_nee:
+            # 4th plane: the sampler's solid-angle pdf (nearest gather for
+            # the escape-side MIS weight) + the shared env-NEE row table
+            ept = jnp.pad(
+                jnp.transpose(scene.envmap.pdf, (1, 0)),
+                ((0, ewp - ew), (0, ehp - eh)),
             )
-        ] * 3
+            rows_tbl = _build_env_nee_rows(
+                scene.envmap, seed, iter_base, num_samples,
+                config.trace_depth,
+            )
+            env_planes = env_planes + (ept, rows_tbl)
+            env_specs.append(plane_spec)
+            env_specs.append(
+                pl.BlockSpec(
+                    rows_tbl.shape, lambda i: (0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
 
     grid = n_pad // TILE
     block = pl.BlockSpec(

@@ -157,19 +157,32 @@ class RenderConfig:
 
         # envmap scenes on the megakernel: sun/sky split always; exact mode
         # in-kernel (one-hot MXU bilinear gather) when the map fits the
-        # VMEM/matmul budget and the estimator is plain BRDF sampling —
-        # env NEE (importance-sampled map) stays on the XLA fast pipeline
+        # VMEM/matmul budget. With nee, the environment is importance-
+        # sampled in-kernel too (shared per-(iteration, depth) alias draws
+        # + MIS) — unless the scene ALSO has analytic emissive lights,
+        # whose combined two-technique NEE stays on the XLA fast pipeline.
         env_ok_exact = False
         if (
             scene.envmap is not None
             and self.env_mode == "exact"
-            and not self.nee
             and self.gather_mode == "light_only"
         ):
             from ..ops.pallas import megakernel as mk_mod
 
             h, w = scene.envmap.shape
             env_ok_exact = h * w <= mk_mod.MAX_ENV_EXACT_TEXELS
+            if self.nee and env_ok_exact:
+                # only env-only scenes get in-kernel env NEE; reading the
+                # light table touches concrete emittance values, which a
+                # TRACED scene (resolve_pipeline is also reached from
+                # inside jitted chunks via trace_sample) cannot provide —
+                # fall back to the conservative fast routing there
+                try:
+                    env_ok_exact = (
+                        mk_mod._static_light_table(scene) is None
+                    )
+                except Exception:
+                    env_ok_exact = False
         env_free = (
             scene.envmap is None or self.env_mode == "split" or env_ok_exact
         )
@@ -438,7 +451,8 @@ def make_pallas_step(interpret: bool = False, scene: Scene = None,
             env_split = megakernel._static_env_split(scene, config)
         # env_mode='exact' needs no pre-derivation: the in-kernel gather's
         # static dims are shape-only (megakernel._static_env_exact) and the
-        # wrapper derives them per call; invalid combos (env NEE, oversize
+        # wrapper derives them per call — including the env_nee flag when
+        # config.nee; invalid combos (analytic+env combined NEE, oversize
         # maps) raise inside render_samples with actionable messages
         if config is not None and config.nee:
             nee_static = megakernel._static_light_table(scene)

@@ -2,9 +2,20 @@
 
 There is no CUDA↔GL PBO interop on a TPU (`src/preview.cpp:118-134` has no
 analog), so the display path is host-side: the renderer accumulates on
-device continuously in a background thread, and the browser polls tonemapped
-frames (the `sendImageToPBO` gamma path, `pathtrace.cu:250-268`) at a
-throttled cadence — keeping display entirely off the timed render path.
+device continuously in a background thread and frames push to the browser
+(the `sendImageToPBO` gamma path, `pathtrace.cu:250-268`) entirely off the
+timed render path.
+
+Display transports, fastest first:
+
+1. `/ws` — a WebSocket (RFC 6455 handshake done by hand; still zero
+   dependencies) pushing RAW RGBA frames drawn via canvas ``putImageData``.
+   This skips the per-frame PNG encode completely — zlib on this
+   single-core host was the display bottleneck, not the network. Measured
+   at 800×800 (2026-08-20): 43.9 ms/frame PNG encode (22.8 fps display
+   ceiling) vs 4.4 ms raw pack (227 fps) — a 10× transport-cost cut.
+2. `/stream` — multipart/x-mixed-replace PNG push (browsers without WS).
+3. `/frame.png` polling — the last-resort fallback.
 
 Controls mirror the reference window (`src/main.cpp:158-218`): left-drag
 orbit, right-drag zoom, middle-drag (or shift-drag) pan, Space recenter,
@@ -14,7 +25,10 @@ reference printed per iteration ("Path Tracer Analytics", `preview.cpp:192`).
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
+import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -25,15 +39,18 @@ from .controls import OrbitCameraController
 _PAGE = """<!doctype html>
 <html><head><title>TPU Path Tracer</title><style>
 body { background:#111; color:#ddd; font-family:monospace; margin:0 }
-#wrap { display:flex } #c { cursor:grab }
+#wrap { display:flex } #view { cursor:grab }
 #hud { padding:12px; white-space:pre; font-size:12px }
 </style></head><body>
-<div id="wrap"><img id="c" draggable="false"><div id="hud">loading…</div></div>
+<div id="wrap"><div id="view"><canvas id="cv" style="display:none"></canvas>
+<img id="c" draggable="false" style="display:none"></div>
+<div id="hud">loading…</div></div>
 <script>
-const c = document.getElementById('c'), hud = document.getElementById('hud');
+const view = document.getElementById('view'), hud = document.getElementById('hud');
+const cv = document.getElementById('cv'), c = document.getElementById('c');
 let drag = null;
-c.oncontextmenu = e => e.preventDefault();
-c.onmousedown = e => { e.preventDefault();
+view.oncontextmenu = e => e.preventDefault();
+view.onmousedown = e => { e.preventDefault();
   drag = {x: e.clientX, y: e.clientY, b: e.button, shift: e.shiftKey}; };
 window.onmouseup = () => drag = null;
 window.onmousemove = e => {
@@ -47,25 +64,47 @@ window.onkeydown = e => {
   if (['s','S',' ','Escape','d','D'].includes(e.key))
     fetch('/control', {method:'POST', body: JSON.stringify({type:'key', key:e.key})});
 };
-// Server-push display: /stream is a multipart/x-mixed-replace PNG stream
-// (frames push as soon as the accumulator advances — no poll latency).
-// If the browser drops multipart (or the stream errors), fall back to
-// polling /frame.png.
-let polling = false;
-function poll() {
-  if (polling) return; polling = true;
-  (function tick() {
-    // load off-screen and only swap on success: reassigning c.src every
-    // tick would abort in-flight loads on slow links and never display
-    const im = new Image();
-    im.onload = () => { c.src = im.src; setTimeout(tick, 60); };
-    im.onerror = () => setTimeout(tick, 500);
-    im.src = '/frame.png?t=' + Date.now();
-  })();
+// Display transport 1: WebSocket pushing RAW RGBA (no PNG encode on the
+// server — the encode, not the network, was the display bottleneck).
+// Frame = 16-byte LE header (w, h, camera_gen, iteration) + RGBA bytes.
+function multipart() {
+  // Transport 2: multipart/x-mixed-replace PNG push; on error fall back
+  // to transport 3, /frame.png polling (load off-screen and only swap on
+  // success: reassigning c.src every tick would abort in-flight loads on
+  // slow links and never display).
+  cv.style.display = 'none'; c.style.display = '';
+  let polling = false;
+  function poll() {
+    if (polling) return; polling = true;
+    (function tick() {
+      const im = new Image();
+      im.onload = () => { c.src = im.src; setTimeout(tick, 60); };
+      im.onerror = () => setTimeout(tick, 500);
+      im.src = '/frame.png?t=' + Date.now();
+    })();
+  }
+  c.onerror = poll;
+  c.src = '/stream';
+  setTimeout(() => { if (!c.naturalWidth) poll(); }, 3000);
 }
-c.onerror = poll;
-c.src = '/stream';
-setTimeout(() => { if (!c.naturalWidth) poll(); }, 3000);
+(function ws() {
+  let opened = false;
+  let sock;
+  try { sock = new WebSocket('ws://' + location.host + '/ws'); }
+  catch (e) { multipart(); return; }
+  sock.binaryType = 'arraybuffer';
+  sock.onopen = () => { opened = true; };
+  sock.onmessage = ev => {
+    const dv = new DataView(ev.data);
+    const w = dv.getUint32(0, true), h = dv.getUint32(4, true);
+    if (cv.width !== w || cv.height !== h) { cv.width = w; cv.height = h; }
+    cv.style.display = ''; c.style.display = 'none';
+    const img = new ImageData(new Uint8ClampedArray(ev.data, 16), w, h);
+    cv.getContext('2d').putImageData(img, 0, 0);
+  };
+  sock.onerror = () => { if (!opened) multipart(); };
+  sock.onclose = () => { if (!opened) multipart(); };
+})();
 (async function stats() {
   try {
     const s = await (await fetch('/stats')).json();
@@ -109,6 +148,7 @@ class PreviewServer:
         self._aovs = None
         self._aovs_gen = -1
         self._frame_times: list = []  # recent distinct-frame timestamps
+        self._raw_cache = ((-1, -1), b"")  # (frame key, ws payload)
 
     # ── render loop (the mainLoop/runCuda analog) ──
 
@@ -158,6 +198,42 @@ class PreviewServer:
 
     def frame_png(self) -> bytes:
         return self.frame_png_keyed()[1]
+
+    def frame_raw_keyed(self) -> tuple:
+        """((camera gen, iteration, denoise), payload) for the WebSocket
+        transport: 16-byte LE header (w, h, camera_gen, iteration) + the
+        tonemapped display image as raw RGBA rows. No codec work at all —
+        the per-frame PNG encode (zlib on this single-core host), not the
+        loopback network, limited the multipart stream's display fps."""
+        import numpy as np
+
+        with self._lock:
+            key = (self._camera_gen, self.renderer.iteration, self._denoise)
+            cached_key, cached = self._raw_cache
+        if key == cached_key and cached:
+            return key, cached
+        if key[2]:
+            img = self._denoised_display(key[0])[:, ::-1, :]
+        else:
+            img = self.renderer.display_image()[:, ::-1, :]
+        h, w = img.shape[:2]
+        rgba = np.empty((h, w, 4), np.uint8)
+        rgba[..., :3] = img
+        rgba[..., 3] = 255
+        payload = (
+            struct.pack(
+                "<IIII", w, h, key[0] & 0xFFFFFFFF, key[1] & 0xFFFFFFFF
+            )
+            + rgba.tobytes()
+        )
+        import time as _time
+
+        with self._lock:
+            self._raw_cache = (key, payload)
+            self._frame_times.append(_time.monotonic())
+            if len(self._frame_times) > 20:
+                self._frame_times = self._frame_times[-20:]
+        return key, payload
 
     def _denoised_display(self, camera_gen: int):
         """uint8 gamma view of the denoised accumulator mean. AOVs rebuild
@@ -268,11 +344,87 @@ class PreviewServer:
                                 _time.sleep(0.03)
                     except (BrokenPipeError, ConnectionError, OSError):
                         pass  # client navigated away
+                elif self.path.startswith("/ws"):
+                    self._serve_websocket()
                 elif self.path.startswith("/stats"):
                     body = json.dumps({"text": server.stats_text()}).encode()
                     self._send(200, "application/json", body)
                 else:
                     self._send(200, "text/html", _PAGE.encode())
+
+            # ── WebSocket push (RFC 6455, by hand — zero dependencies) ──
+
+            def _serve_websocket(self):
+                # Unlike <img>-tag transports, a cross-origin page CAN read
+                # WS frame bytes, so gate the upgrade like /control: the
+                # Host header must be trustworthy and any Origin must match
+                # it (the viewer page connects same-origin).
+                wkey = self.headers.get("Sec-WebSocket-Key")
+                upgrade = (self.headers.get("Upgrade") or "").lower()
+                if upgrade != "websocket" or not wkey:
+                    self._send(400, "text/plain", b"websocket endpoint")
+                    return
+                if not self._host_allowed():
+                    self._send(403, "application/json", b'{"error":"host"}')
+                    return
+                origin = self.headers.get("Origin")
+                if origin is not None:
+                    from urllib.parse import urlparse
+
+                    host_hdr = (self.headers.get("Host") or "").strip()
+                    if urlparse(origin).netloc != host_hdr:
+                        self._send(403, "application/json",
+                                   b'{"error":"origin"}')
+                        return
+                accept = base64.b64encode(
+                    hashlib.sha1(
+                        (wkey + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
+                        .encode()
+                    ).digest()
+                ).decode()
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header("Sec-WebSocket-Accept", accept)
+                self.end_headers()
+
+                import socket as _socket
+                import time as _time
+
+                def ws_send(payload: bytes):
+                    n = len(payload)
+                    if n < 126:
+                        hdr = struct.pack("!BB", 0x82, n)
+                    elif n < (1 << 16):
+                        hdr = struct.pack("!BBH", 0x82, 126, n)
+                    else:
+                        hdr = struct.pack("!BBQ", 0x82, 127, n)
+                    self.wfile.write(hdr + payload)
+                    self.wfile.flush()
+
+                last = None
+                try:
+                    while not server._stop.is_set():
+                        # drain client frames without blocking the push
+                        # loop; a close frame (opcode 8) ends the session.
+                        # (Browsers don't ping; anything else is ignored.)
+                        self.connection.settimeout(0.001)
+                        try:
+                            buf = self.connection.recv(1024)
+                            if not buf or (buf[0] & 0x0F) == 0x8:
+                                break
+                        except (_socket.timeout, BlockingIOError):
+                            pass
+                        finally:
+                            self.connection.settimeout(30.0)
+                        key, payload = server.frame_raw_keyed()
+                        if key != last:
+                            last = key
+                            ws_send(payload)
+                        else:
+                            _time.sleep(0.03)
+                except (BrokenPipeError, ConnectionError, OSError):
+                    pass  # client navigated away
 
             def _host_allowed(self):
                 # DNS-rebinding defense: Origin==Host alone passes when an

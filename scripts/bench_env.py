@@ -66,9 +66,17 @@ def main() -> int:
                   args.chunk, seed=99)
 
     configs = [
+        # auto-routed rows run IN-KERNEL on TPU (megakernel exact env /
+        # env NEE); the pipeline='fast' rows pin the XLA path they replace
         ("exact", RenderConfig(**common)),
         ("exact+nee", RenderConfig(nee=True, **common)),
-        ("split", RenderConfig(env_mode="split", samples_per_launch=50,
+        ("exact(fast)", RenderConfig(pipeline="fast", **common)),
+        ("exact+nee(fast)", RenderConfig(nee=True, pipeline="fast",
+                                         **common)),
+        # chunk must divide spp: a trailing odd-size launch is a fresh
+        # computation shape whose ~40 s remote compile lands inside the
+        # timed region (observed as a bogus 0.8 M rays/s split row)
+        ("split", RenderConfig(env_mode="split", samples_per_launch=32,
                                enable_refraction=True)),
     ]
     for name, cfg in configs:

@@ -518,14 +518,113 @@ def test_megakernel_env_exact_matches_fast():
     assert corr > 0.85
 
 
-def test_megakernel_env_exact_nee_routes_fast():
-    """Env NEE (importance-sampled map) has no in-kernel alias gather —
-    the megakernel refuses it with a pointer to pipeline='fast'."""
-    desc = load_scene_desc(os.path.join(SCENES, "env_spheres.txt"))
-    desc.camera.resolution = (32, 32)
+def test_megakernel_env_nee_matches_fast(tmp_path):
+    """In-kernel env NEE+MIS (shared per-(iteration, depth) alias draws +
+    the escape-side pdf-plane MIS weight) is estimator-compatible with the
+    fast pipeline's per-pixel env NEE: same mean, tightly matching images
+    at equal spp on the hard-sun stress scene. Per-pixel means and
+    variances are identical by construction — sharing the env draw across
+    lanes only correlates NEIGHBORING pixels' noise."""
+    desc = _sun_scene(tmp_path, res=32)
+    scene = Scene.from_desc(desc)
+    cfg = RenderConfig(trace_depth=4, nee=True)
+
+    mk = _split_render(scene, cfg, 64, 4)
+
+    r = Renderer(
+        desc,
+        RenderConfig(trace_depth=4, nee=True, samples_per_launch=32,
+                     pipeline="fast"),
+        seed=5,
+    )
+    r.render(64)
+    fast = np.asarray(r.state.accum) / 64
+
+    assert np.isfinite(mk).all()
+    assert abs(mk.mean() - fast.mean()) / fast.mean() < 0.05
+    cm = np.clip(mk, 0.0, 1.0).mean(-1)
+    cf = np.clip(fast, 0.0, 1.0).mean(-1)
+    corr = np.corrcoef(cm, cf)[0, 1]
+    assert corr > 0.95
+
+
+def test_megakernel_env_nee_furnace(tmp_path):
+    """The in-kernel env NEE estimator passes the furnace test: constant
+    environment c over a convex diffuse body with albedo a renders a·c on
+    the body and exactly c in the background (primary escapes keep MIS
+    weight 1 — prev_pdf < 0). Tolerance note: the SHARED per-(iteration,
+    depth) env draws make the noise frame-correlated, so the body-mean
+    error shrinks with spp but NOT with pixel count — measured ±2% at
+    64 spp (0.411 vs 0.4195 expected), hence 96 spp / rtol 0.04."""
+    desc = _furnace_scene(tmp_path, res=16)
+    c = float(desc.env_image[0, 0, 0])
+    scene = Scene.from_desc(desc)
+    img = _split_render(
+        scene, RenderConfig(trace_depth=3, nee=True), 96, 3
+    ).reshape(16, 16, 3)
+    corner = img[:3, :3]
+    center = img[6:10, 6:10]
+    np.testing.assert_allclose(corner, c, rtol=1e-5)
+    np.testing.assert_allclose(center.mean(), 0.6 * c, rtol=0.04)
+
+
+def test_megakernel_env_nee_rejects_mixed_lights(tmp_path):
+    """A scene mixing an envmap with analytic emissive lights needs the
+    combined two-technique NEE — that runs on pipeline='fast' only."""
+    img = np.full((8, 16, 3), 0.2, np.float32)
+    write_hdr(str(tmp_path / "mix.hdr"), img)
+    text = """MATERIAL 0
+RGB         .7 .7 .7
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   0
+
+MATERIAL 1
+RGB         1 1 1
+SPECEX      0
+SPECRGB     0 0 0
+REFL        0
+REFR        0
+REFRIOR     0
+EMITTANCE   5
+
+ENVIRONMENT
+FILE mix.hdr
+STRENGTH 1
+
+CAMERA
+RES         16 16
+FOVY        45
+ITERATIONS  4
+DEPTH       2
+FILE        mix
+EYE         0 0 6
+LOOKAT      0 0 0
+UP          0 1 0
+
+OBJECT 0
+sphere
+material 0
+TRANS       0 0 0
+ROTAT       0 0 0
+SCALE       2 2 2
+
+OBJECT 1
+cube
+material 1
+TRANS       0 4 0
+ROTAT       0 0 0
+SCALE       1 .2 1
+"""
+    desc = parse_scene(text, base_dir=str(tmp_path))
     scene = Scene.from_desc(desc)
     with pytest.raises(ValueError, match="fast"):
         _split_render(scene, RenderConfig(trace_depth=2, nee=True), 2, 2)
+    # and the auto router keeps such scenes off the megakernel
+    assert RenderConfig(nee=True).resolve_pipeline(scene) != "pallas"
 
 
 def test_megakernel_env_exact_size_cap():

@@ -191,6 +191,104 @@ def test_preview_server(small_desc):
         srv.stop()
 
 
+def test_preview_websocket_stream(small_desc):
+    """The /ws transport (raw-RGBA push, no PNG encode): RFC 6455 handshake
+    succeeds with the correct Accept digest, frames carry the (w, h,
+    camera_gen, iteration) header + w·h·4 RGBA bytes, successive frames
+    advance the iteration, and a cross-origin upgrade is refused (WS frame
+    bytes are readable cross-origin, unlike <img> transports)."""
+    import base64 as b64
+    import hashlib
+    import os as _os
+    import socket
+    import struct
+    import time as _time
+
+    from cosc_4397_pathtracing_raytracing_project_tpu.viewer.server import (
+        PreviewServer,
+    )
+
+    r = Renderer(small_desc, RenderConfig(samples_per_launch=2))
+    srv = PreviewServer(
+        r, lookat=small_desc.camera.lookat, host="127.0.0.1", port=0
+    )
+    srv.start(block=False)
+    try:
+        port = srv._httpd.server_address[1]
+        key = b64.b64encode(_os.urandom(16)).decode()
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        s.sendall(
+            (
+                f"GET /ws HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += s.recv(4096)
+        head, buf = buf.split(b"\r\n\r\n", 1)
+        assert b" 101 " in head.split(b"\r\n")[0]
+        want = b64.b64encode(
+            hashlib.sha1(
+                (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+            ).digest()
+        )
+        assert want in head
+
+        def read_exact(n, buf):
+            deadline = _time.monotonic() + 60
+            while len(buf) < n and _time.monotonic() < deadline:
+                buf += s.recv(65536)
+            assert len(buf) >= n, "ws read timed out"
+            return buf[:n], buf[n:]
+
+        def read_frame(buf):
+            hdr, buf = read_exact(2, buf)
+            assert hdr[0] == 0x82  # FIN + binary
+            ln = hdr[1] & 0x7F
+            if ln == 126:
+                ext, buf = read_exact(2, buf)
+                ln = struct.unpack("!H", ext)[0]
+            elif ln == 127:
+                ext, buf = read_exact(8, buf)
+                ln = struct.unpack("!Q", ext)[0]
+            payload, buf = read_exact(ln, buf)
+            return payload, buf
+        p1, buf = read_frame(buf)
+        w, h, _gen, it1 = struct.unpack("<IIII", p1[:16])
+        assert (w, h) == (64, 64)
+        assert len(p1) == 16 + w * h * 4
+        assert p1[19] == 255  # alpha of pixel 0
+        p2, buf = read_frame(buf)
+        _, _, _, it2 = struct.unpack("<IIII", p2[:16])
+        assert it2 > it1  # the push advanced with the accumulator
+        # masked client close frame ends the session server-side
+        s.sendall(struct.pack("!BB4s", 0x88, 0x80, b"\x00\x00\x00\x00"))
+        s.close()
+
+        # cross-origin (DNS-rebinding shape) upgrade is refused
+        s2 = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s2.sendall(
+            (
+                f"GET /ws HTTP/1.1\r\nHost: evil.example:{port}\r\n"
+                f"Origin: http://evil.example:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        resp = b""
+        deadline = _time.monotonic() + 30
+        while b"\r\n" not in resp and _time.monotonic() < deadline:
+            resp += s2.recv(4096)
+        assert b" 403 " in resp.split(b"\r\n")[0]
+        s2.close()
+    finally:
+        srv.stop()
+
+
 def test_preview_denoise_toggle(small_desc):
     """'d' toggles the display denoiser: stats reflect it, frames still
     serve (fresh bytes under the new frame key), and 'd' again restores."""
