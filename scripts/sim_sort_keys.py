@@ -9,12 +9,27 @@ secondary-bounce rays, 30 tiles of 2048 (2026-08-17):
     octant-major 4x4x4     SC/tile 48.0  clusters/tile 527  tris/tile 33700
     16x16x16+oct           SC/tile 47.8  clusters/tile 487  tris/tile 31147
 
-Conclusion: the shipped 9-bit key is within 2% of the best variant; finer
-cells fragment buckets below tile size (tiles then straddle cells AND
-octants, worsening the bundle). Diffuse tiles intrinsically enter ~43% of
-all clusters -- secondary-bounce cost is tile-culling-bound by design, so
-perf work should target the per-resort overheads (sort cadence, fused
-lax.sort) and the per-entered-cluster triangle loop, not the key.
+Direction-resolution sweep (2026-08-20 — the round-4 verdict's
+"bounce-1-specific reorder" candidate; every earlier variant refined only
+the ORIGIN grid):
+
+    4x4x4+oct+domaxis      SC/tile 44.0  clusters/tile 437  tris/tile 27968
+    4x4x4+oct+dir2b        SC/tile 44.1  clusters/tile 432  tris/tile 27676
+    2x2x2+oct+dir2b        SC/tile 42.0  clusters/tile 463  tris/tile 29649
+    2x2x2+oct+dir3b        SC/tile 41.9  clusters/tile 461  tris/tile 29521
+    dir-major oct+dir2b    SC/tile 47.7  clusters/tile 525  tris/tile 33611
+
+Conclusion: the shipped 9-bit key is within 2% of the best variant in
+BOTH families — finer cells fragment buckets below tile size, and finer
+direction bins (sub-octant quantization, up to 512 direction buckets)
+buy at most 1.7% fewer triangle tests before the same fragmentation
+kicks in. Diffuse tiles intrinsically enter ~43% of all clusters --
+secondary-bounce cost is tile-culling-bound by design, so perf work
+should target the per-resort overheads (sort cadence, fused lax.sort)
+and the per-entered-cluster triangle loop, not the key. Together with
+scripts/sim_treelet.py (descent ceiling +0.84%), this closes the
+round-4 "structural mesh experiment" with numbers on both named
+candidates.
 
 Models the cluster kernel's tile traversal in NumPy: rays are sorted by a
 candidate key, grouped into TILE-sized tiles, and for each tile we count

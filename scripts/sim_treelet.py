@@ -18,21 +18,23 @@ ceiling with the kernel's measured cost split (docs/ROADMAP.md: ctrl 427
 ≈ notri 202 + noload 198 ms/sample — the triangle loop IS the cost; box
 sweeps ride the same VPU stream).
 
-Result (2026-08-20, 30 tiles × 2048 rays, 38.5k tris → 1024 clusters /
-64 superclusters):
+Measured result (2026-08-20, 30 tiles × 2048 rays, 38.5k tris → 1024
+clusters / 64 superclusters):
 
-    linear sweep:   64.0 SC slab tests/tile  (+ 16/entered-SC cluster tests)
-    treelet descent: 88.3 node tests/tile (127-node tree, 44.5/64 SCs
-                     entered → subtrees almost never reject: a diffuse
-                     tile's rays cover the whole scene)
-    triangle tests:  28149/tile — UNCHANGED by construction
+    linear sweep:     64.0 SC slab tests/tile (+16/entered-SC cluster tests)
+    treelet descent: 110.4 node tests/tile (127-node tree)
+    SC entered 44.5/64, clusters entered 439.8,
+    triangle tests 28149/tile — UNCHANGED by construction
 
-    box-test share of the tile budget (ops model: ~20 vec-ops/slab,
-    ~66/triangle): (64+712)*20 / ((64+712)*20 + 28149*66) = 0.83%.
-    The descent REGRESSES box tests (88 > 64: interior nodes cost tests
-    without pruning — 70% of SCs are entered, so subtree rejection almost
-    never fires) AND adds per-node scalar-branch serialization the linear
-    BATCH=8 sweep amortizes 8×. Ceiling even if descent were free: +0.8%.
+    op-budget (ops model: ~20 vec-ops/slab, ~66/triangle):
+    linear 1,873,387  descent 1,874,315  box share 0.83%
+    ceiling even if ALL box tests were free: +0.84%.
+
+    The descent REGRESSES box tests (110 > 64): 70% of superclusters are
+    entered by a diffuse tile, so subtree rejection almost never fires
+    and every interior node is a wasted test — AND a pointer walk adds
+    per-node scalar-branch serialization the linear BATCH=8 sweep
+    amortizes 8×.
 
 Conclusion: in-kernel treelet descent cannot move the mesh number — the
 bounce-1 cost is the per-triangle vector work inside clusters that ARE
