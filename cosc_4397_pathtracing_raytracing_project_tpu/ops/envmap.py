@@ -272,9 +272,10 @@ def sample_env(env: EnvMap, u1: jnp.ndarray, u2: jnp.ndarray):
 
 # ────────────────────── sun/sky split (megakernel mode) ──────────────────────
 #
-# The Pallas megakernel has no per-lane HDR gather, so `env_mode='split'`
-# decomposes the map into machine-friendly pieces (the classic production
-# sun/sky split):
+# For maps past the megakernel's in-kernel budget (MAX_ENV_EXACT_TEXELS —
+# the one-hot MXU gather's cost scales with texel count and the compiler
+# gives out past 256×512), `env_mode='split'` decomposes the map into
+# machine-friendly pieces (the classic production sun/sky split):
 #   • SUNS: the top-K texels holding ≥ `thresh`× the mean luminance become
 #     delta directional lights (direction = texel center, irradiance
 #     E = L·Δω). Sampled deterministically at every diffuse vertex with one

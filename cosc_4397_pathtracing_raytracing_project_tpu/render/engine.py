@@ -118,8 +118,11 @@ class RenderConfig:
     # never recompiles; FOCAL ≤ 0 auto-focuses on LOOKAT).
     dof: Optional[bool] = None
     # Environment-map evaluation mode (scenes with an ENVIRONMENT block):
-    # 'exact' = bilinear HDR lookups + alias-table importance sampling on
-    # the XLA pipelines (unbiased; TPU auto-routes to 'fast'); 'split' =
+    # 'exact' = bilinear HDR lookups + alias-table importance sampling —
+    # IN-KERNEL on the TPU megakernel for maps up to
+    # megakernel.MAX_ENV_EXACT_TEXELS (one-hot MXU gathers; with nee,
+    # shared per-(iteration, depth) alias draws), the XLA fast pipeline
+    # past the cap (unbiased either way); 'split' =
     # the megakernel's sun/sky decomposition (ops/envmap.py split_envmap):
     # top-K bright texels become delta directional lights (deterministic
     # shadow rays), the residual sky an SH-9 fit for indirect bounces, and
