@@ -421,7 +421,32 @@ def _static_env_split(scene: Scene, config) -> tuple:
 # Hp·Wp (16 row-matmuls of [Wp, Hp]·[Hp, 128] per channel per tile), and
 # the three planes live whole in VMEM. 256×512 ≈ 131k texels keeps both
 # comfortable; larger maps route to env_mode='split' or the fast pipeline.
+# Measured curve (scripts/bench_env_big.py, 2026-08-20): 93.6 M rays/s at
+# 128×256, 34.1 M at the cap (fast path 10.3 M), FAILS TO COMPILE at
+# 512×1024 — the cap is placed exactly where the design gives out.
 MAX_ENV_EXACT_TEXELS = 256 * 512
+
+
+def _wants_env_nee(scene: Scene, config) -> bool:
+    """True iff this (scene, config) runs the in-kernel env NEE estimator:
+    env_mode='exact' + config.nee on an envmap scene with NO analytic
+    emissive lights (mixed scenes need the combined two-technique NEE —
+    that runs on pipeline='fast'). Reads concrete emittance values, so
+    call with a concrete scene only (shard closures precompute it)."""
+    if not getattr(config, "nee", False):
+        return False
+    if scene.envmap is None or (
+        getattr(config, "env_mode", "exact") == "split"
+    ):
+        return False
+    if config.gather_mode != "light_only":
+        raise ValueError("nee requires gather_mode='light_only'")
+    if _static_light_table(scene) is not None:
+        raise ValueError(
+            "exact env + analytic emissive lights: the combined "
+            "two-technique NEE runs on pipeline='fast'"
+        )
+    return True
 
 
 def _static_env_exact(scene: Scene) -> tuple:
@@ -1875,6 +1900,7 @@ def render_samples(
     tile_base=None,
     nee_static=None,
     env_split=None,
+    env_nee=None,
 ) -> jnp.ndarray:
     """Render `num_samples` samples in one kernel dispatch (public wrapper;
     forwards the module-level ABLATION/INTERLEAVE knobs as jit-static args so
@@ -1899,7 +1925,6 @@ def render_samples(
     if scene_static is None:
         scene_static = _static_scene_tables(scene)
     env_exact = None
-    env_nee = False
     if env_split is None and scene.envmap is not None:
         if getattr(config, "env_mode", "exact") == "split":
             env_split = _static_env_split(scene, config)
@@ -1918,18 +1943,17 @@ def render_samples(
                     "env_mode='split' or pipeline='fast'"
                 )
             env_exact = _static_env_exact(scene)
-            if getattr(config, "nee", False):
-                if config.gather_mode != "light_only":
-                    raise ValueError("nee requires gather_mode='light_only'")
-                if (nee_static is not None) or (
-                    nee_static is None and _static_light_table(scene)
-                    is not None
-                ):
-                    raise ValueError(
-                        "exact env + analytic emissive lights: the combined "
-                        "two-technique NEE runs on pipeline='fast'"
-                    )
-                env_nee = True
+    if env_nee is None:
+        try:
+            env_nee = env_exact is not None and _wants_env_nee(scene, config)
+        except ValueError:
+            raise
+        except Exception as e:  # tracer scene: the flag must come from outside
+            raise ValueError(
+                "sharded env NEE needs the env_nee flag precomputed from "
+                "the concrete scene — call via "
+                "parallel.shard.make_sharded_pallas_step"
+            ) from e
     if not env_nee and nee_static is None and getattr(config, "nee", False):
         if config.gather_mode != "light_only":
             raise ValueError("nee requires gather_mode='light_only'")

@@ -132,6 +132,7 @@ def render_chunk_sharded_pallas(
     scene_static=None,
     nee_static=None,
     env_split=None,
+    env_nee=None,
 ) -> RenderState:
     """Multi-chip megakernel step: each dp rank runs the single-dispatch
     Pallas megakernel (ops.pallas.megakernel) on its contiguous pixel slice;
@@ -153,7 +154,7 @@ def render_chunk_sharded_pallas(
         # falls back to ((), (), ()) — dynamic SMEM tables — when the scene
         # is a tracer; make_sharded_pallas_step passes the concrete tables
         scene_static = megakernel._static_scene_tables(scene)
-    if nee_static is None and getattr(config, "nee", False):
+    if nee_static is None and getattr(config, "nee", False) and not env_nee:
         try:
             nee_static = megakernel._static_light_table(scene)
         except Exception as e:  # tracer scene: tables must come from outside
@@ -208,6 +209,7 @@ def render_chunk_sharded_pallas(
             scene_static=scene_static,
             nee_static=nee_static,
             env_split=env_split,
+            env_nee=env_nee,
             tile_base=dp * jnp.int32(tiles_per_shard),
         )
         rad = jax.lax.psum(rad, SAMPLE_AXIS)
@@ -240,6 +242,7 @@ def make_sharded_pallas_step(
         nee_static=(
             megakernel._static_light_table(scene)
             if getattr(config, "nee", False)
+            and not megakernel._wants_env_nee(scene, config)
             else None
         ),
         env_split=(
@@ -247,6 +250,10 @@ def make_sharded_pallas_step(
             if scene.envmap is not None and config.env_mode == "split"
             else None
         ),
+        # env NEE needs concrete emittance values to derive; precompute the
+        # flag here so the traced render_samples call never probes the
+        # (tracer) scene
+        env_nee=megakernel._wants_env_nee(scene, config),
     )
     return jax.jit(lambda scene, state: fn(scene, state))
 

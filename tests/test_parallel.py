@@ -500,3 +500,48 @@ def test_sharded_megakernel_env_exact_matches_single_device(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out.accum), single, rtol=1e-5, atol=1e-6
     )
+
+
+def test_sharded_megakernel_env_nee_matches_single_device(tmp_path):
+    """In-kernel env NEE under shard_map: the env_nee flag precomputes in
+    make_sharded_pallas_step (deriving it needs concrete emittance values
+    a traced scene can't provide), the shared per-(iteration, depth) env
+    rows rebuild identically per sp rank from absolute iterations, and
+    the pdf plane rides the replicated EnvMap leaves — a TILE-aligned
+    dp-sharded env NEE render matches the single-device one."""
+    from cosc_4397_pathtracing_raytracing_project_tpu.io.png import write_hdr
+    from cosc_4397_pathtracing_raytracing_project_tpu.ops.pallas import (
+        megakernel,
+    )
+    from cosc_4397_pathtracing_raytracing_project_tpu.parallel import (
+        make_sharded_pallas_step,
+    )
+
+    img = np.full((8, 16, 3), 0.1, np.float32)
+    img[2, 5] = [80.0, 70.0, 60.0]
+    write_hdr(str(tmp_path / "sun.hdr"), img)
+    # env-ONLY scene: zero the ceiling light (in-kernel env NEE excludes
+    # scenes that also have analytic emitters — those route to 'fast')
+    text = CORNELL_SMALL.replace("EMITTANCE 1.5", "EMITTANCE 0")
+    text = "ENVIRONMENT\nFILE sun.hdr\nSTRENGTH 1\n\n" + text
+    desc = parse_scene(text, base_dir=str(tmp_path))
+    desc.camera.resolution = (128, 64)  # dp=4 → exactly 1 TILE/shard
+    scene = Scene.from_desc(desc)
+    cfg = RenderConfig(trace_depth=3, nee=True)
+    state = RenderState.create(scene.camera.pixel_count, seed=0)
+    seed = (state.key.reshape(-1)[-1].astype(jnp.uint32)).astype(jnp.int32)
+    num_samples = 2
+
+    single = np.asarray(
+        megakernel.render_samples(
+            scene, cfg, seed, state.iteration + 1, num_samples, interpret=True
+        )
+    )
+    assert np.isfinite(single).all() and single.max() > 0
+
+    mesh = make_mesh(8, sample_parallel=2)  # dp=4
+    step = make_sharded_pallas_step(scene, cfg, num_samples, mesh, interpret=True)
+    out = step(scene, state)
+    np.testing.assert_allclose(
+        np.asarray(out.accum), single, rtol=1e-5, atol=1e-6
+    )
